@@ -1,0 +1,83 @@
+"""Queries reproducing the reference's own demo workloads on real data.
+
+The reference test suite's only workload is sorted-distinct-tokens:
+mapF = whitespace-split emit (word, "") (/root/reference/src/mapreduce/
+common_test_suite.go:31-42), reduceF = identity-empty (:45-50), merge =
+lexicographic key sort + "key: value" lines (master.go:112-127).
+Word count is the canonical MR variant of the same surface.
+
+Here they run over ``documents.text`` as native DataFrame plans —
+explode/groupBy — which Catalyst executes with partial aggregation
+(map-side combine) that the reference lacked (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.functions.text import distinct_tokens, explode_tokens
+from simplemapreduce_spark.sources.tables import load_table
+
+_TOKENS_FROM_DOCS = """
+    SELECT unnest(string_split_regex(text, '\\s+')) AS token
+    FROM documents
+"""
+
+
+@query(
+    "mr_sorted_distinct_tokens",
+    oracle=f"""
+    SELECT DISTINCT token
+    FROM ({_TOKENS_FROM_DOCS})
+    WHERE token <> ''
+    ORDER BY token
+    """,
+)
+def mr_sorted_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's end-to-end test workload (distinct
+    tokens, lexicographic string sort) over documents.text."""
+    return distinct_tokens(load_table(spark, sf_dir, "documents"), "text", "token")
+
+
+@query(
+    "mr_word_count",
+    oracle=f"""
+    SELECT token, count(*) AS cnt
+    FROM ({_TOKENS_FROM_DOCS})
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def mr_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical MR word count — groupBy(token).count(); Catalyst runs
+    it as partial+final hash aggregation (a combiner, which the
+    reference's holistic reduceF could not express)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return explode_tokens(docs, "text", "token").groupBy("token").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "mr_key_value_render",
+    oracle=f"""
+    SELECT token || ': ' || CAST(cnt AS VARCHAR) AS line
+    FROM (
+        SELECT token, count(*) AS cnt
+        FROM ({_TOKENS_FROM_DOCS})
+        WHERE token <> ''
+        GROUP BY token
+    )
+    ORDER BY line
+    """,
+)
+def mr_key_value_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's final artifact format: '"<key>: <value>"' lines
+    in lexicographic key order (master.go:124 format string)."""
+    counted = mr_word_count(spark, sf_dir)
+    return (
+        counted.select(
+            F.format_string("%s: %s", F.col("token"), F.col("cnt").cast("string")).alias("line")
+        )
+        .orderBy("line")
+    )

@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the local[32] test harness while
+remaining cluster-safe (every setting here is sane on a 1000-executor
+cluster; only master/memory are local-mode specifics).
+
+Reference lifecycle being replaced: Sequential/Distributed masters
+(/root/reference/src/mapreduce/master_sequential.go:6-28,
+master_distributed.go:13-30) — in Spark the same program runs locally
+or on a cluster by changing only the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions: match local parallelism rather than the default
+# 200 (tiny local data) — on a real cluster AQE coalesces to the right
+# number anyway, so this is a floor, not a ceiling.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "simplemapreduce_spark", *, cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+    Arrow on (fast pandas interchange for the UDF-backed operators),
+    UTC session timezone (deterministic timestamp semantics vs the
+    DuckDB oracle).
+    """
+    cpus = cpus or _DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
