@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -40,10 +41,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Declarative scan — filters/projections
-    applied by callers reach the parquet reader via Catalyst pushdown."""
+    applied by callers reach the parquet reader via Catalyst pushdown.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the file; Spark reads it as a
+    nanosecond long (spark.sql.legacy.parquet.nanosAsLong) and we
+    convert to a microsecond timestamp here — same truncation DuckDB
+    applies reading the same file, so oracles agree.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
