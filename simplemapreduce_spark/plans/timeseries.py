@@ -1,1 +1,273 @@
-"""Placeholder — populated in this round."""
+"""Time-series / event-stream catalog over ``events`` (SURVEY.md §7.1
+M4): tumbling/sliding/session windows, as-of join, downsampling, gap
+filling. Absent from the reference (strictly batch, §2.2); here they
+are batch queries whose shapes are Structured-Streaming-ready (the
+streaming module reuses the same windowed aggregations).
+
+Determinism: all bucket edges are integer-microsecond arithmetic;
+session boundaries compare integer micros; value sums use decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.sources.tables import load_table
+
+_GAP_MICROS = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+@query(
+    "q_ts_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_ts_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling window per event type — F.window() in batch mode
+    (same operator Structured Streaming uses with a watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_ts_sliding",
+    oracle="""
+    WITH halves AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS half_start, value FROM events
+    ), assigned AS (
+      SELECT half_start AS window_start, value FROM halves
+      UNION ALL
+      SELECT half_start - INTERVAL '30 minutes' AS window_start, value FROM halves
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM assigned GROUP BY window_start
+    """,
+)
+def q_ts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min — each event lands in two
+    overlapping windows (oracle: explicit two-bucket assignment)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_ts_session_window",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_GAP_MICROS}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
+def q_ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap). Spark merges events whose
+    [ts, ts+gap) intervals touch, so a new session starts only when the
+    gap is STRICTLY exceeded — the oracle's gaps-and-islands encodes
+    exactly that; session_end = last event + gap on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_ts_sessionize_stats",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_GAP_MICROS}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM marked
+    )
+    SELECT user_id, COUNT(DISTINCT sess) AS n_sessions, COUNT(*) AS n_events,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT sess) AS events_per_session
+    FROM numbered GROUP BY user_id
+    """,
+)
+def q_ts_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization via pure window functions (the portable
+    gaps-and-islands formulation, identical plan on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((micros - F.lag(micros).over(w)) > F.lit(_GAP_MICROS)),
+        1,
+    ).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        e.select("user_id", "ts", "event_id", sess.alias("sess"))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            (F.count("*").cast("double") / F.countDistinct("sess")).alias("events_per_session"),
+        )
+    )
+
+
+@query(
+    "q_ts_asof_join",
+    oracle="""
+    WITH merged AS (
+      SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS okey, 1 AS kind FROM events
+      UNION ALL
+      SELECT o_custkey AS user_id, o_orderdate AS ts, CAST(NULL AS BIGINT) AS event_id,
+             o_orderkey AS okey, 0 AS kind
+      FROM orders
+    ), filled AS (
+      SELECT *, LAST_VALUE(okey IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, kind, COALESCE(okey, 0), COALESCE(event_id, 0)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+      FROM merged
+    )
+    SELECT event_id, user_id, ts, asof_orderkey
+    FROM filled WHERE kind = 1
+    """,
+)
+def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gets the most recent order (<= ts) of the
+    same customer, via the union-merge technique — one shuffle, one
+    sort, NO per-event probe join. This is the formulation that scales:
+    a join+filter+rank approach re-reads the orders side per event and
+    skews on hot users; the merged-stream window is O(n log n) total.
+    Ties at equal ts: orders sort before events (kind 0 < 1) so an
+    event exactly at order time sees that order; among same-instant
+    orders the largest o_orderkey wins (last in frame)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.lit(None).cast("long").alias("okey"), F.lit(1).alias("kind")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(0).alias("kind"),
+    )
+    merged = e.unionByName(o)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("okey", F.lit(0)), F.coalesce("event_id", F.lit(0)))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        merged.withColumn("asof_orderkey", F.last("okey", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "asof_orderkey")
+    )
+
+
+@query(
+    "q_ts_downsample",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS DECIMAL(18,4)) AS avg_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC-style downsample per event type."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("value"))
+            .cast("decimal(18,4)")
+            .alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(F.col("w.start").alias("day"), "event_type", "n", "avg_value", "min_value", "max_value")
+    )
+
+
+@query(
+    "q_ts_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(time_bucket(INTERVAL '1 day', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(time_bucket(INTERVAL '1 day', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day FROM bounds
+    ), daily AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT spine.day, COALESCE(daily.n, 0) AS n_purchases
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: generate the full day range, left
+    join daily counts, zero-fill missing days (the spine is built with
+    sequence()+explode — no driver-side loop)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"), F.date_trunc("day", F.max("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_purchases"))
+    )

@@ -1,1 +1,188 @@
-"""Placeholder — populated in this round."""
+"""Window-function catalog (SURVEY.md §2.2 — absent in the reference,
+whose only "window" was the global final sort; here they're native
+Catalyst Window operators).
+
+Determinism: every window ORDER BY ends in a unique key (orderkey /
+event_id / custkey) so frames are identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "q_window_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def q_window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("order_seq"))
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+    FROM part
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank are tie-stable: equal inputs get equal ranks, so
+    no unique tie-break is needed for value-hash parity."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS micros_since_prev,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_type
+    FROM events
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over the event stream; time deltas in integer micros
+    (unix_micros ≡ DuckDB epoch_us — no float rounding)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    return e.select(
+        "user_id",
+        "event_id",
+        (micros - F.lag(micros).over(w)).alias("micros_since_prev"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS running_spend
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame (decimal — exact under
+    any accumulation order)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("decimal(18,2)").alias("running_spend"),
+    )
+
+
+@query(
+    "q_window_moving_avg",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                / COUNT(l_quantity) OVER w AS DECIMAL(18,4)) AS qty_ma4
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-row moving average per supplier (decimal-sum / count, same
+    deterministic-avg recipe as the aggregate catalog)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, W.currentRow)
+    )
+    ma = (
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
+    ).cast("decimal(18,4)")
+    return li.select("l_suppkey", "l_orderkey", "l_linenumber", ma.alias("qty_ma4"))
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("balance_quartile"))
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_order_price,
+           LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_order_price"),
+        F.last("o_totalprice").over(w_full).alias("last_order_price"),
+    )
+
+
+@query(
+    "q_window_cume_dist",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           ROUND(CUME_DIST() OVER (ORDER BY s_acctbal), 9) AS bal_cume,
+           ROUND(PERCENT_RANK() OVER (ORDER BY s_acctbal), 9) AS bal_pct_rank
+    FROM supplier
+    """,
+)
+def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist/percent_rank — ratios of identical integers, rounded
+    for belt-and-braces."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.orderBy("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.round(F.cume_dist().over(w), 9).alias("bal_cume"),
+        F.round(F.percent_rank().over(w), 9).alias("bal_pct_rank"),
+    )
