@@ -1,1 +1,207 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis catalog over ``documents`` — the training-data-
+pipeline operators (BASELINE.json north star): token statistics,
+quality scoring, language-ID heuristic, document fingerprinting,
+n-gram extraction, regex token counting.
+
+Everything is built-in column functions (JVM-side, codegen) — zero
+Python UDFs — so these run at full scan speed on a cluster. The
+tokenization contract matches functions/text.py (whitespace split,
+empties dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.functions.text import tokens
+from simplemapreduce_spark.sources.tables import load_table
+
+# Tiny deterministic stopword list shared by quality scoring and the
+# language-ID heuristic (expressible identically in SQL).
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
+
+_SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+@query(
+    "q_text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS}) AS n_tokens,
+           n_chars,
+           CASE WHEN len({_SQL_TOKENS}) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_SQL_TOKENS})
+           END AS avg_token_len
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts and average token length."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        "n_chars",
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens
+        )
+        .alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1) AS digit_ratio,
+           CAST(len(list_filter({_SQL_TOKENS},
+                t -> list_contains(['the','a','and','of','to','in','is'], lower(t)))) AS DOUBLE)
+             / GREATEST(len({_SQL_TOKENS}), 1) AS stopword_ratio,
+           CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1 ELSE 0 END AS length_ok
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: punctuation/digit density, stopword
+    ratio, length band — the standard cheap pre-filters before
+    expensive model-based scoring in a data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    text_len = F.greatest(F.length("text"), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    return d.select(
+        "doc_id",
+        (F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double") / text_len).alias(
+            "punct_ratio"
+        ),
+        (F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double") / text_len).alias(
+            "digit_ratio"
+        ),
+        (
+            n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))
+        ).alias("stopword_ratio"),
+        F.when(F.length("text").between(100, 5000), 1).otherwise(0).alias("length_ok"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter({_SQL_TOKENS},
+                 t -> list_contains(['the','and','of','is','a'], lower(t)))) AS en_hits,
+             len(list_filter({_SQL_TOKENS},
+                 t -> list_contains(['der','und','die','das','ist'], lower(t)))) AS de_hits,
+             len(list_filter({_SQL_TOKENS},
+                 t -> list_contains(['el','la','de','los','es'], lower(t)))) AS es_hits
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                WHEN es_hits > 0 THEN 'es'
+                ELSE 'unknown' END AS predicted_lang
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stopword-hit language-ID heuristic (the cheap
+    n-gram-free baseline; a real pipeline would swap in fastText via a
+    pandas UDF — the surface stays identical)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def hits(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+    en = hits(("the", "and", "of", "is", "a"))
+    de = hits(("der", "und", "die", "das", "ist"))
+    es = hits(("el", "la", "de", "los", "es"))
+    predicted = (
+        F.when((en >= de) & (en >= es) & (en > 0), "en")
+        .when((de >= es) & (de > 0), "de")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", "lang", predicted.alias("predicted_lang"))
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint: collapse whitespace, lowercase,
+    md5 — the canonical exact-dedup key (md5 is identical across
+    engines, unlike xxhash/FNV)."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@query(
+    "q_text_bigrams",
+    oracle=f"""
+    WITH toks AS (SELECT {_SQL_TOKENS} AS t FROM documents),
+    bigrams AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n FROM bigrams GROUP BY bigram
+    HAVING COUNT(*) >= 10
+    """,
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (array-native construction — no UDF,
+    no per-row explode before the bigram build)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    return (
+        d.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+@query(
+    "q_text_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting via a pre-tokenizer regex (letters runs /
+    digit runs / single punctuation) — the cheap proxy for LLM token
+    budgeting at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast(
+            "long"
+        ).alias("n_bpe_ish_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).cast("long").alias("n_number_tokens"),
+    )
