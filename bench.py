@@ -1,0 +1,84 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is fully materialized through the noop sink (forces every
+operator to execute, discards rows — no driver collect bottleneck, the
+same shape a cluster write has). One warmup query amortizes JVM/codegen
+startup so the numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+from simplemapreduce_spark import catalog  # noqa: E402
+from simplemapreduce_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per operator family (scan+agg, join
+# pipeline, window, time-series, MapReduce compat, dedup, similarity,
+# text). Kept stable across rounds so BENCH_r{N}.json trends compare.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "mr_word_count",
+    "q_window_moving_avg",
+    "q_ts_tumbling",
+    "q_ts_asof_join",
+    "q_dedup_minhash_lsh",
+    "q_sim_topk_bruteforce",
+    "q_text_token_stats",
+    "q_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    catalog.load_all()
+    spark = get_spark("smr-bench")
+
+    # Warmup: touch every table + run the cheapest query once so JIT /
+    # codegen / parquet footer caching don't bill the first timed query.
+    materialize(catalog.QUERIES["q6_forecast_revenue"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,12 +41,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every plan module so its queries register."""
     # Imports are side-effectful by design (decorator registration).
+    from simplemapreduce_spark.operators import ml_lsh  # noqa: F401
     from simplemapreduce_spark.plans import (  # noqa: F401
+        dedup,
+        extensions,
+        llm_text,
         mr_compat,
         relational,
-        windows,
-        timeseries,
-        llm_text,
-        dedup,
         similarity,
+        timeseries,
+        windows,
     )

@@ -1,0 +1,118 @@
+"""Extension catalog entries: multimodal plumbing, approximate
+sketches, and the map_reduce compatibility surface run end-to-end.
+
+The mr_compat_* queries exercise the generic mapF/reduceF dataflow
+(operators/map_reduce.py) through the driver gate. Their user
+functions are defined as NESTED closures on purpose: cloudpickle
+serializes closures by value, so Spark workers need no importable copy
+of this package (the driver's worker processes don't share our
+sys.path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.operators.map_reduce import map_reduce
+from simplemapreduce_spark.operators.multimodal import documents_as_media, extract_features
+from simplemapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary payload column (byte length
+    + checksum) — the metadata-only scan never touches the payload
+    bytes thanks to column pruning."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select("media_id", "byte_len", "checksum")
+
+
+@query("q_multimodal_features")  # rows-only: feature extraction is a pandas UDF
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched (deterministic fake) feature extraction over the
+    binary payload — the real decoder slot is stubbed (no imaging libs
+    in this container; see operators/multimodal.py)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "byte_len", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+@query("q_approx_count_distinct")  # rows-only: HLL++ result is engine-specific
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the constant-memory
+    cardinality sketch; exact twin is q_agg_distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+    )
+
+
+@query("q_approx_quantiles")  # rows-only: sketch parameters are engine-specific
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna style sketch); exact twin is
+    q_agg_minmax_percentile."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)").alias("quartiles")
+    )
+
+
+@query(
+    "q_mr_compat_wordcount",
+    oracle="""
+    SELECT token AS key, CAST(COUNT(*) AS VARCHAR) AS value
+    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token ORDER BY key
+    """,
+)
+def q_mr_compat_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through the generic mapF/reduceF compat API — the
+    canonical MapReduce program on the reference's exact contract
+    (string pairs, holistic reduce, lexicographic key sort)."""
+
+    def map_f(row):
+        for tok in row["text"].split():
+            yield tok, "1"
+
+    def reduce_f(key, values):
+        return str(sum(int(v) for v in values))
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return map_reduce(docs, map_f, reduce_f)
+
+
+@query(
+    "q_mr_compat_sorted_distinct",
+    oracle="""
+    SELECT DISTINCT token AS key, '' AS value
+    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+    WHERE token <> ''
+    ORDER BY key
+    """,
+)
+def q_mr_compat_sorted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference test suite's own workload (sorted distinct tokens,
+    common_test_suite.go:31-50) through the compat API."""
+
+    def map_f(row):
+        for tok in row["text"].split():
+            yield tok, ""
+
+    def reduce_f(key, values):
+        return ""
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return map_reduce(docs, map_f, reduce_f)

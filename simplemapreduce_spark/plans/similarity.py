@@ -1,1 +1,184 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search catalog over ``embeddings`` (array<float>, 64-d):
+brute-force cosine top-k (exact baseline) and LSH-bucketed top-k (the
+scale path). Cosines are computed JVM-side (zip_with/aggregate fold on
+double arrays — bit-identical to DuckDB's list_cosine_similarity, so
+even ranking is oracle-checkable).
+
+Ranking determinism: neighbors are ordered by ROUND(cos, 4) DESC then
+vec_id — both engines rank identical rounded keys, so ties can never
+flip between bit-equal candidates.
+
+Scale design: brute-force is O(Q × N) with Q broadcast — right when Q
+is small or as the verify stage. The bucketed variant blocks on sign
+bits (bit-sampling LSH): candidates come from an equi-join on the
+bucket key, so work scales with bucket occupancy, not N².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.functions.vectors import cosine_similarity
+from simplemapreduce_spark.sources.tables import load_table
+
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+SIGN_BITS = 6
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+@query(
+    "q_sim_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qe, v.e), 4) AS cos_sim
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast the query set, score every
+    candidate, per-query top-k via window rank. One pass over the
+    corpus, no shuffle of the big side before scoring."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _sign_bucket_sql() -> str:
+    terms = [
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << (SIGN_BITS - 1 - i)}"
+        for i in range(SIGN_BITS)
+    ]
+    return " + ".join(terms)
+
+
+def _sign_bucket_col() -> F.Column:
+    out = F.lit(0)
+    for i in range(SIGN_BITS):
+        out = out + F.when(F.element_at("embedding", i + 1) >= 0, 1).otherwise(0) * (
+            1 << (SIGN_BITS - 1 - i)
+        )
+    return out
+
+
+@query(
+    "q_sim_topk_lsh_bucketed",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             {_sign_bucket_sql()} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < {N_QUERIES * 4}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qe, v.e), 4) AS cos_sim
+      FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-sampling LSH top-k: bucket = sign bits of the first
+    {SIGN_BITS} dimensions; candidates come from an equi-join on the
+    bucket key (≈ N/2^{SIGN_BITS} of the corpus per query) — the
+    approximate scale path whose recall the brute-force baseline
+    measures. Same deterministic ranking contract."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), _sign_bucket_col().alias("bucket")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES * 4).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket")
+    )
+    scored = (
+        v.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@query(
+    "q_sim_l2_nearest",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(sqrt(list_sum(list_transform(list_zip(q.qe, v.e),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))), 4) AS l2_dist
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_dist, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, l2_dist, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q_sim_l2_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean nearest neighbors (same harness, L2 metric)."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qe"), F.col("e"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), F.round(l2, 4).alias("l2_dist")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("l2_dist"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )

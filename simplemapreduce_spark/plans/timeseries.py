@@ -209,28 +209,48 @@ def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ts_downsample",
+    # avg computed in exact integer cents (value is 2-decimal data):
+    # round_half_up(cents/n, 4dp) = (2*cents*100 + n) // (2*n) scaled
+    # back — double division rounds differently in Spark (exact binary
+    # HALF_UP) vs DuckDB (string-repr path) exactly at half boundaries.
     oracle="""
-    SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
-           COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS DECIMAL(18,4)) AS avg_value,
-           MIN(value) AS min_value, MAX(value) AS max_value
-    FROM events GROUP BY 1, 2
+    WITH d AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, n,
+           CAST(CAST((2 * cents * 100 + n) // (2 * n) AS DECIMAL(22,0))
+                * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(18,4)) AS avg_value,
+           min_value, max_value
+    FROM d
     """,
 )
 def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily OHLC-style downsample per event type."""
+    """Daily OHLC-style downsample per event type. The average is exact
+    integer-cents arithmetic so the rounding is engine-independent."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("value"))
-            .cast("decimal(18,4)")
-            .alias("avg_value"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("cents"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
-        .select(F.col("w.start").alias("day"), "event_type", "n", "avg_value", "min_value", "max_value")
+        .select(
+            F.col("w.start").alias("day"),
+            "event_type",
+            "n",
+            F.expr(
+                "CAST(CAST((2 * cents * 100 + n) div (2 * n) AS DECIMAL(22,0))"
+                " * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(18,4))"
+            ).alias("avg_value"),
+            "min_value",
+            "max_value",
+        )
     )
 
 
