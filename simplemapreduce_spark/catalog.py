@@ -52,3 +52,4 @@ def load_all() -> None:
         timeseries,
         windows,
     )
+    from simplemapreduce_spark.streaming import stateful, windows as stream_windows  # noqa: F401

@@ -1,0 +1,83 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+This is the streaming analogue of the reference's holistic
+``reduceF(key, values)`` contract (/root/reference/src/common/
+common_reduce.go:56,85): arbitrary per-key user logic — but
+*incremental*, carrying state across micro-batches instead of
+requiring all values at once.
+
+Closures are defined inside the query functions so cloudpickle ships
+them by value (driver worker processes don't import this package).
+
+Scale design: state lives in the partitioned state store (one entry
+per key), checkpointed; throughput is Arrow-batched. No driver-side
+loops, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.streaming.windows import run_stream_to_table, stream_events
+
+_COUNT_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("total_value_cents", T.LongType(), True),
+    ]
+)
+_COUNT_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType(), True),
+        T.StructField("cents", T.LongType(), True),
+    ]
+)
+
+
+@query(
+    "q_stream_stateful_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS total_value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via a custom stateful operator
+    (applyInPandasWithState): each micro-batch updates per-key state
+    and emits the cumulative row. Over the finite fixture stream the
+    last emission per user equals the batch aggregate — exactly
+    oracle-checkable. Value summed in integer cents (2-decimal data)
+    so no float-accumulation drift across engines."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(pdf["value"].mul(100).round().sum())) if len(pdf) else 0
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]})
+
+    updates = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, _COUNT_OUT, _COUNT_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    out = run_stream_to_table(updates, "append")
+    # Keep the final (cumulative) emission per user: the one with max n.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value_cents")
+    )
