@@ -57,6 +57,10 @@ def map_pairs(df: DataFrame, map_f: MapF) -> DataFrame:
     ``map_f`` as plain dicts (the reference handed (filename,
     contents); any input schema is allowed here)."""
 
+    from simplemapreduce_spark.sources.tables import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             keys: list[str] = []

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from simplemapreduce_spark.catalog import query
 from simplemapreduce_spark.operators.map_reduce import map_reduce
 from simplemapreduce_spark.operators.multimodal import documents_as_media, extract_features
+from simplemapreduce_spark.sources.tables import ensure_parallelism
 from simplemapreduce_spark.sources.tables import load_table
 
 
@@ -41,7 +42,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched (deterministic fake) feature extraction over the
     binary payload — the real decoder slot is stubbed (no imaging libs
     in this container; see operators/multimodal.py)."""
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    media = documents_as_media(ensure_parallelism(load_table(spark, sf_dir, "documents")))
     feats = extract_features(media)
     return feats.select(
         "media_id", "byte_len", F.round(F.element_at("features", 1), 6).alias("f0")

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
 from simplemapreduce_spark.functions.text import tokens
-from simplemapreduce_spark.sources.tables import load_table
+from simplemapreduce_spark.sources.tables import ensure_parallelism, load_table
 
 # Tiny deterministic stopword list shared by quality scoring and the
 # language-ID heuristic (expressible identically in SQL).
@@ -39,7 +39,7 @@ _SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 )
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts and average token length."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     n_tokens = F.size(toks)
     return d.select(
@@ -73,7 +73,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality signals: punctuation/digit density, stopword
     ratio, length band — the standard cheap pre-filters before
     expensive model-based scoring in a data pipeline."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     text_len = F.greatest(F.length("text"), F.lit(1))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
@@ -118,7 +118,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stopword-hit language-ID heuristic (the cheap
     n-gram-free baseline; a real pipeline would swap in fastText via a
     pandas UDF — the surface stays identical)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
 
     def hits(words: tuple[str, ...]):
@@ -149,7 +149,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint: collapse whitespace, lowercase,
     md5 — the canonical exact-dedup key (md5 is identical across
     engines, unlike xxhash/FNV)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
@@ -169,7 +169,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram counts (array-native construction — no UDF,
     no per-row explode before the bigram build)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     bigrams = F.expr(
         "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
@@ -197,7 +197,7 @@ def q_text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting via a pre-tokenizer regex (letters runs /
     digit runs / single punctuation) — the cheap proxy for LLM token
     budgeting at corpus scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast(

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
 from simplemapreduce_spark.functions.vectors import cosine_similarity
-from simplemapreduce_spark.sources.tables import load_table
+from simplemapreduce_spark.sources.tables import ensure_parallelism, load_table
 
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -29,7 +29,7 @@ SIGN_BITS = 6
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    return ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
 
@@ -119,7 +119,7 @@ def q_sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket key (≈ N/2^{SIGN_BITS} of the corpus per query) — the
     approximate scale path whose recall the brute-force baseline
     measures. Same deterministic ranking contract."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     v = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"), _sign_bucket_col().alias("bucket")
     )

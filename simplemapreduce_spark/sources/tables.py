@@ -60,6 +60,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a DataFrame whose upstream layout yields
+    fewer partitions than the cluster has cores.
+
+    The testdata ships single-row-group parquet files, so a scan is one
+    task and every downstream narrow op (tokenize / hash / score /
+    decode) would serialize on one core. At production layouts (many
+    files / row groups per table) the guard makes this a no-op, so no
+    gratuitous shuffle ever happens at scale. Apply AFTER filters so
+    predicate pushdown still reaches the scan; intended for CPU-bound
+    pipelines over full scans (shingling, hashing, vector scoring,
+    feature extraction), not for pure-Catalyst relational plans.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
     """Register temp views so the SQL API sees the same catalog the
     DataFrame API does (and the DuckDB oracle mirrors)."""
