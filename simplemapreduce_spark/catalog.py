@@ -48,6 +48,7 @@ def load_all() -> None:
         llm_text,
         mr_compat,
         relational,
+        relational_ext,
         similarity,
         timeseries,
         windows,

@@ -1,0 +1,247 @@
+"""Second relational catalog slice: full outer join, array/map scalar
+functions, unpivot, range-frame windows, and file-format round-trips
+(CSV/JSON sources+sinks exercised end-to-end).
+
+Same determinism rules as plans/relational.py: money in decimals,
+unique tie-breaks, float folds evaluated in identical order on both
+engines (left fold, no engine-chosen summation order).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    WITH o94 AS (
+      SELECT o_custkey, COUNT(*) AS n_1994 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+      GROUP BY o_custkey
+    ), o95 AS (
+      SELECT o_custkey, COUNT(*) AS n_1995 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(o94.o_custkey, o95.o_custkey) AS custkey,
+           o94.n_1994 AS n_1994, o95.n_1995 AS n_1995
+    FROM o94 FULL OUTER JOIN o95 ON o94.o_custkey = o95.o_custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: customers active in 1994 vs 1995 — both
+    unmatched sides surface as NULL counts. Shuffle-hash/sort-merge on
+    the key; both inputs pre-aggregated so the join input is one row
+    per key (the scalable shape — join after reduce, not before)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(yr: int, alias: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{yr}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{yr + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(alias))
+        )
+
+    a = year(1994, "n_1994").alias("a")
+    b = year(1995, "n_1995").alias("b")
+    return a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+        "n_1994",
+        "n_1995",
+    )
+
+
+@query(
+    "q_scalar_array",
+    oracle="""
+    SELECT vec_id,
+           len(e) AS arr_len,
+           list_reduce(e[1:4], (a, b) -> a + b) AS head4_sum,
+           list_max(e) AS max_val,
+           len(list_filter(e, x -> x > 0)) AS n_pos,
+           list_sort(e)[len(e)] AS sorted_last
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    """,
+)
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions over the embedding column: size, slice +
+    left-fold sum (identical evaluation order on both engines, so the
+    doubles are bit-equal), max, filtered count, sort. All JVM-side
+    higher-order functions — no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # float32 source → double BEFORE any arithmetic, so both engines
+    # fold in float64 (a float32 fold rounds differently per step).
+    arr = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(arr).alias("arr_len"),
+        F.aggregate(F.slice(arr, 1, 4), F.lit(0.0), lambda acc, x: acc + x).alias("head4_sum"),
+        F.array_max(arr).alias("max_val"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_pos"),
+        F.element_at(F.array_sort(arr), F.size(arr)).alias("sorted_last"),
+    )
+
+
+@query(
+    "q_scalar_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column path: parse props JSON into map<string,long>,
+    then element_at lookups (the map type is the engine surface; output
+    stays scalar so both engines hash identically)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("m", m)
+        .select(
+            "event_id",
+            F.element_at("m", "k").alias("k_value"),
+            (F.element_at("m", "k") % 10).alias("k_mod10"),
+        )
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): the inverse of q_pivot, via DataFrame
+    unpivot — one pass, no self-union of the input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL '30 days' PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS spend_30d
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): trailing-30-day
+    spend per customer. Spark's rangeBetween needs a numeric ordering
+    key, so the frame runs over epoch seconds — semantically identical
+    to the SQL INTERVAL frame."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .alias("spend_30d"),
+    )
+
+
+def _scratch_dir(kind: str, sf_dir: str) -> str:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), "smr_scratch", f"{kind}_{sf_tag}")
+
+
+@query(
+    "q_source_csv_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip: write the nation table as CSV with
+    a header, read it back with an explicit schema, aggregate. Proves
+    the csv connector preserves values exactly (int/string columns)."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = _scratch_dir("nation_csv", sf_dir)
+    n.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    back = spark.read.option("header", True).schema(schema).csv(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_nation")
+    )
+
+
+@query(
+    "q_source_json_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-JSON sink + source round-trip (the reference's intermediate
+    file format, common_map.go:89-95): write a filtered orders slice as
+    JSON lines, read it back, aggregate."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    path = _scratch_dir("orders_json", sf_dir)
+    o.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return back.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))

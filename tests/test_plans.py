@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(SURVEY.md §4, 'Optimize for scale' contract) must be visible in
+explain output, not just assumed.
+
+* predicate pushdown reaches the parquet scan (PushedFilters);
+* column pruning reaches the scan (ReadSchema excludes unused cols);
+* small-dimension joins broadcast (BroadcastHashJoin);
+* aggregations run partial+final (map-side combine — the optimization
+  the reference explicitly lacked, SURVEY.md §2.1 note 1);
+* hot relational paths stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import col
+
+from simplemapreduce_spark import catalog
+from simplemapreduce_spark.sources.tables import load_table
+
+catalog.load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = catalog.QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    # The shipdate range predicate must be pushed, not evaluated post-scan.
+    assert "l_shipdate" in plan.split("PushedFilters:", 1)[1].split("\n", 1)[0] + plan.split(
+        "PushedFilters:", 1
+    )[1][:400]
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(li)
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    df = catalog.QUERIES["q_join_broadcast"](spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_q5_join_pipeline_broadcasts_dims(spark, sf_dir):
+    plan = _plan(catalog.QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation(spark, sf_dir):
+    df = catalog.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    # partial + final hash aggregate pair = map-side combine.
+    assert plan.count("HashAggregate") >= 2
+    codegen = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "WholeStageCodegen subtrees" in codegen
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    plan = _plan(catalog.QUERIES["q_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_candidates_join_is_equi(spark, sf_dir):
+    """The LSH candidate join must be a hash/sort-merge EQUI join on
+    (band, band_hash) — never a nested-loop all-pairs product."""
+    plan = _plan(catalog.QUERIES["q_dedup_minhash_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim_bruteforce_broadcasts_queries(spark, sf_dir):
+    """Brute-force ANN: the query set must broadcast; the corpus side
+    must NOT shuffle (one pass over the big side)."""
+    plan = _plan(catalog.QUERIES["q_sim_topk_bruteforce"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
