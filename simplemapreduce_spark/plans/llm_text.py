@@ -205,3 +205,47 @@ def q_text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_bpe_ish_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).cast("long").alias("n_number_tokens"),
     )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS n_docs FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_total FROM documents)
+    SELECT tf.doc_id, tf.token,
+           ROUND((CAST(cnt AS DOUBLE) / doc_len)
+                 * ln(CAST(n_total AS DOUBLE) / n_docs), 6) AS tfidf
+    FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (document, term): three aggregations over one token
+    explosion — term frequency, document length, document frequency —
+    joined back; the corpus size joins in as a broadcast scalar.
+
+    Scale shape: tf/dl shuffle on doc_id, df on token; the df table is
+    vocabulary-sized (small) so its join broadcasts. ln() arguments are
+    exact integer ratios, so both engines evaluate the same double."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("n_docs"))
+    n = d.agg(F.count("*").alias("n_total"))
+    tfidf = F.round(
+        (F.col("cnt").cast("double") / F.col("doc_len"))
+        * F.log(F.col("n_total").cast("double") / F.col("n_docs")),
+        6,
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", tfidf.alias("tfidf"))
+    )

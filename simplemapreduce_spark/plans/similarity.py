@@ -182,3 +182,97 @@ def q_sim_l2_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "l2_dist", "rank")
     )
+
+
+N_CENTROIDS = 8
+N_PROBE = 2
+IVF_TOP_K = 3
+
+_IVF_ASSIGN_SQL = f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {N_CENTROIDS}),
+    dists AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             ROUND(sqrt(list_sum(list_transform(list_zip(v.e, cent.ce),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))), 4) AS d
+      FROM v CROSS JOIN cent
+    ),
+    assign AS (
+      SELECT vec_id, e, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM dists
+      ) WHERE rk = 1
+    )
+"""
+
+
+@query(
+    "q_sim_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    probes AS (
+      SELECT vec_id AS query_id, e AS qe, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM dists
+      ) WHERE rk <= {N_PROBE} AND vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qe, a.e), 4) AS cos_sim
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {IVF_TOP_K}
+    """,
+)
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic 'training' picks the first
+    N_CENTROIDS vectors as centroids; every vector is assigned to its
+    nearest centroid (one broadcast pass — the inverted-file index);
+    each query probes its N_PROBE nearest cells and searches exactly
+    within them.
+
+    Scale shape: index build is a single broadcast cross-score over
+    the corpus (centroid table is tiny); the search join is an
+    equi-join on cell, so per-query work is ~N_PROBE/N_CENTROIDS of
+    the corpus — the same contract a real IVF index gives, with
+    k-means-trained centroids as the drop-in upgrade."""
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    dists = v.crossJoin(F.broadcast(cent)).select("vec_id", "e", "cid", l2.alias("d"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("d"), F.col("cid"))
+    ranked = dists.withColumn("rk", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rk") == 1).select("vec_id", "e", F.col("cid").alias("cell"))
+    probes = (
+        ranked.filter((F.col("rk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES))
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("cid").alias("cell"))
+    )
+    scored = (
+        assign.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
