@@ -40,7 +40,10 @@ HEADLINE = [
     "q_ts_asof_join",
     "q_dedup_minhash_lsh",
     "q_sim_topk_bruteforce",
+    "q_sim_ivf_topk",
     "q_text_token_stats",
+    "q_text_tfidf",
+    "q_pipeline_training_data",
     "q_topk",
 ]
 

@@ -41,7 +41,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every plan module so its queries register."""
     # Imports are side-effectful by design (decorator registration).
-    from simplemapreduce_spark.operators import ml_lsh  # noqa: F401
+    from simplemapreduce_spark.operators import ml_lsh, skew  # noqa: F401
     from simplemapreduce_spark.plans import (  # noqa: F401
         dedup,
         extensions,
@@ -49,6 +49,7 @@ def load_all() -> None:
         mr_compat,
         relational,
         relational_ext,
+        sampling,
         similarity,
         timeseries,
         windows,

@@ -1,0 +1,109 @@
+"""Deterministic sampling / splitting / pipeline-composition operators
+for training-data curation.
+
+All selection decisions are content-hash based (md5 prefix compare) —
+no RNG, no global count, no coordination: every executor decides each
+row locally, the property that makes sampling free at 100 TB and
+reproducible across engines (the DuckDB oracle computes the identical
+predicate). Spark's df.sample() is seeded-RNG per partition — fine for
+statistics, wrong for reproducible pipeline runs where membership must
+be stable under repartitioning, retries, and engine changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.functions.text import tokens
+from simplemapreduce_spark.sources.tables import load_table
+
+
+def hash_bucket(col: F.Column, prefix_len: int = 2) -> F.Column:
+    """First hex chars of md5 — a uniform, engine-portable bucket key."""
+    return F.substring(F.md5(col.cast("string")), 1, prefix_len)
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample (md5 prefix < '1a' = 26/256): stable
+    under repartitioning/retries, identical on every engine — the
+    reproducible alternative to seeded-RNG df.sample()."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(hash_bucket(F.col("doc_id")) < "1a").select("doc_id", "lang", "source")
+
+
+@query(
+    "q_split_train_test",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test assignment from the
+    doc-id hash — membership is a pure function of the row, so the
+    split never leaks across reruns or engines."""
+    d = load_table(spark, sf_dir, "documents")
+    h = hash_bucket(F.col("doc_id"), 1)
+    split = (
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+@query(
+    "q_pipeline_training_data",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, fp, len(t) AS n_tokens FROM toks WHERE len(t) >= 5
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM quality
+      ) WHERE rn = 1
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM deduped GROUP BY lang
+    """,
+)
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline composition: quality filter (min
+    token count) → exact dedup (normalized-content fingerprint,
+    deterministic keeper) → per-language corpus stats. One scan, two
+    shuffles (dedup window + final agg) — the composed operators fuse
+    into a single declarative plan Catalyst optimizes as a whole."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp"),
+    ).filter(F.col("n_tokens") >= 5)
+    w = W.partitionBy("fp").orderBy("doc_id")
+    deduped = base.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )

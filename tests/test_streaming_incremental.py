@@ -1,0 +1,101 @@
+"""Genuinely incremental streaming: replay the events fixture as
+MULTIPLE micro-batches (maxFilesPerTrigger=1 over a multi-file copy)
+and assert the stateful operator's final state still equals the batch
+answer — i.e. state really carries across batches, not just within one.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.sources.tables import load_table
+
+N_FILES = 4
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "smr_scratch", "events_multifile")
+    (
+        load_table(spark, sf_dir, "events")
+        .repartition(N_FILES)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def test_stateful_counts_across_microbatches(spark, sf_dir, multi_file_events):
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from simplemapreduce_spark.streaming.windows import run_stream_to_table
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    stream = (
+        spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi_file_events)
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    out = run_stream_to_table(updates, "append")
+
+    # More than one emission per user proves multiple micro-batches ran.
+    emissions = out.groupBy("user_id").count()
+    assert emissions.filter(F.col("count") > 1).count() > 0
+
+    final = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    )
+    expected = (
+        load_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n_events"))
+    )
+    assert sorted(final.collect()) == sorted(expected.collect())
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, multi_file_events):
+    """Windowed agg over a multi-batch stream (complete mode) equals
+    the batch aggregation of the same data."""
+    stream = (
+        spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi_file_events)
+    )
+    from simplemapreduce_spark.streaming.windows import run_stream_to_table
+
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    got = run_stream_to_table(agg, "complete").select(
+        F.col("w.start").alias("ws"), "event_type", "n"
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
