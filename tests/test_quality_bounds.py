@@ -1,0 +1,89 @@
+"""Quality bounds for the approximate operators, and byte-level golden
+checks for the reference-compatible sink (SURVEY.md §7.3: pin exact
+output semantics with golden tests).
+
+Approximate operators can't hash-match an oracle, but they make
+statistical promises — sketch error bounds, LSH recall against the
+exact baseline — and those ARE testable.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark import catalog
+from simplemapreduce_spark.sinks import write_key_value_text
+from simplemapreduce_spark.sources.tables import load_table
+
+catalog.load_all()
+
+
+def test_approx_count_distinct_within_bounds(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count_distinct("l_partkey").alias("n")).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n_exact in exact.items():
+        assert abs(approx[k] - n_exact) <= max(2, 0.1 * n_exact), (k, approx[k], n_exact)
+
+
+def test_approx_percentile_within_rank_bounds(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    [q25, q50, q75] = o.approxQuantile("o_totalprice", [0.25, 0.5, 0.75], 0.01)
+    assert q25 <= q50 <= q75
+    n = o.count()
+    below_median = o.filter(F.col("o_totalprice") <= q50).count()
+    assert 0.45 * n <= below_median <= 0.55 * n
+
+
+def _pair_set(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_ml_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """The seeded pyspark.ml MinHashLSH join must recover most true
+    near-dup pairs found by the exact n-gram Jaccard baseline."""
+    exact = _pair_set(catalog.QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir))
+    ml = _pair_set(catalog.QUERIES["q_ml_minhash_lsh"](spark, sf_dir))
+    assert exact, "baseline found no near-dup pairs; fixture changed?"
+    recall = len(exact & ml) / len(exact)
+    assert recall >= 0.8, f"ML-LSH recall {recall:.2f} < 0.8 ({len(exact)} true pairs)"
+
+
+def test_handrolled_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """The deterministic md5 MinHash+banding pipeline: every reported
+    pair must be a true near-dup (precision 1.0 — it verifies exactly),
+    and recall against the exact baseline must clear the banding
+    probability for Jaccard >= 0.5 (P(candidate) = 1-(1-0.5^4)^4 per
+    §dedup, much higher for the near-identical pairs in the fixture)."""
+    exact = _pair_set(catalog.QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir))
+    lsh = _pair_set(catalog.QUERIES["q_dedup_minhash_lsh"](spark, sf_dir))
+    assert lsh <= exact, "LSH reported a pair the exact verify refutes"
+    assert exact, "baseline found no near-dup pairs; fixture changed?"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} < 0.5"
+
+
+def test_key_value_sink_golden_bytes(spark):
+    """Byte-for-byte reproduction of the reference's merged artifact:
+    '%s: %s' lines, lexicographic STRING key order ('10' < '2'),
+    single file (master.go:112-127)."""
+    df = spark.createDataFrame(
+        [("2", "two"), ("10", "ten"), ("1", "one")], ["key", "value"]
+    )
+    path = os.path.join(tempfile.gettempdir(), "smr_scratch", "kv_golden")
+    write_key_value_text(df, path)
+    [part] = glob.glob(os.path.join(path, "part-*"))
+    with open(part, "rb") as f:
+        assert f.read() == b"1: one\n10: ten\n2: two\n"
