@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
-from simplemapreduce_spark.plans.dedup import shingles_df
+from simplemapreduce_spark.plans.dedup import doc_shingle_arrays
 from simplemapreduce_spark.sources.tables import load_table
 
 SEED = 42
@@ -24,10 +24,9 @@ SEED = 42
 
 def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents as sparse binary shingle-presence vectors (HashingTF
-    with binary=True over the distinct word-3-gram shingles)."""
-    sh = shingles_df(spark, sf_dir).groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shingles")
-    )
+    with binary=True over the row-local distinct word-3-gram shingle
+    arrays — no shuffle before the LSH fit)."""
+    sh = doc_shingle_arrays(spark, sf_dir).withColumnRenamed("arr", "shingles")
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
     return tf.transform(sh)
 

@@ -236,7 +236,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("n_docs"))
+    # tf is already one row per (doc, token), so document frequency is
+    # a plain COUNT over it — no count_distinct expand.
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("n_docs"))
     n = d.agg(F.count("*").alias("n_total"))
     tfidf = F.round(
         (F.col("cnt").cast("double") / F.col("doc_len"))

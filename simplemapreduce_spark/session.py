@@ -41,7 +41,15 @@ def get_spark(app_name: str = "simplemapreduce_spark", *, cpus: str | None = Non
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Constraint inference rewrites IsNotNull(derived_col) through
+        # projections into the full defining expression and pushes it
+        # below parallelizing exchanges — for higher-order-function
+        # pipelines (shingling, minhash) that re-evaluates the whole
+        # pipeline single-threaded inside the scan filter (observed 8x
+        # slowdown). Our plans gain nothing from inferred constraints.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
