@@ -102,3 +102,96 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+N_FRAMES = 4
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("frame_hashes", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("resized_len", T.LongType(), True),
+        T.StructField("resized_checksum", T.StringType(), True),
+    ]
+)
+
+
+def frame_slices(payload: bytes, n_frames: int = N_FRAMES) -> list[bytes]:
+    """Deterministic stand-in for video frame sampling: the payload is
+    cut into n contiguous chunks (floor boundaries) — the same slices
+    any engine computes, so frame fingerprints are oracle-checkable.
+    A real implementation decodes with ffmpeg and samples keyframes;
+    the Spark-side contract (binary in, per-frame records out, Arrow
+    batches) is identical."""
+    n = len(payload)
+    return [payload[(i * n) // n_frames : ((i + 1) * n) // n_frames] for i in range(n_frames)]
+
+
+def sample_frames(media: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """Arrow-batched frame sampling over the binary column."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            hashes = [
+                [hashlib.md5(fr).hexdigest() for fr in frame_slices(bytes(p), n_frames)]
+                if p is not None
+                else []
+                for p in batch["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "n_frames": [len(h) for h in hashes],
+                    "frame_hashes": hashes,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Deterministic fake resize: stride-sample the payload down to
+    out_w*out_h bytes (a real decoder+resampler slots in unchanged —
+    binary in, binary-derived features out, bounded memory per Arrow
+    batch). Python-slice semantics are not SQL-expressible, so the
+    catalog registers this rows-only; tests pin the deterministic
+    output shape instead."""
+    import hashlib
+
+    target = out_w * out_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_len: list[int] = []
+            out_sum: list[str] = []
+            for p in batch["payload"]:
+                if p is None:
+                    out_len.append(0)
+                    out_sum.append("")
+                    continue
+                b = bytes(p)
+                stride = max(1, len(b) // target)
+                small = b[::stride][:target]
+                out_len.append(len(small))
+                out_sum.append(hashlib.md5(small).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized_len": out_len,
+                    "resized_checksum": out_sum,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -117,3 +117,37 @@ def q_mr_compat_sorted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     return map_reduce(docs, map_f, reduce_f)
+
+
+@query(
+    "q_multimodal_frames",
+    # documents.text is pure ASCII (verified: octet_length == length),
+    # so VARCHAR substring in the oracle slices the same bytes the
+    # pandas UDF slices from the binary payload.
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           4 AS n_frames,
+           list_transform(range(4), i -> md5(substring(text,
+               CAST(i * length(text) // 4 + 1 AS BIGINT),
+               CAST((i + 1) * length(text) // 4 - i * length(text) // 4 AS BIGINT)))) AS frame_hashes
+    FROM documents
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary payload (deterministic chunk
+    fingerprints standing in for decoded keyframes) — Arrow-batched
+    mapInPandas, one row per media with the per-frame hash array."""
+    from simplemapreduce_spark.operators.multimodal import sample_frames
+
+    media = documents_as_media(ensure_parallelism(load_table(spark, sf_dir, "documents")))
+    return sample_frames(media)
+
+
+@query("q_multimodal_resize")  # rows-only: python stride-slice is not SQL-expressible
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake resize (stride downsample to 8x8 bytes) through the real
+    Arrow plumbing; the decoder+resampler slot in unchanged."""
+    from simplemapreduce_spark.operators.multimodal import resize_media
+
+    media = documents_as_media(ensure_parallelism(load_table(spark, sf_dir, "documents")))
+    return resize_media(media)

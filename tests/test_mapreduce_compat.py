@@ -86,3 +86,23 @@ def test_holistic_reduce_sees_all_values(spark):
 
     out = map_reduce(df, map_f, reduce_f)
     assert out.collect()[0]["value"] == "50"
+
+
+def test_rdd_api_matches_dataframe_api(spark):
+    from simplemapreduce_spark.operators.map_reduce import map_reduce_rdd
+
+    df = spark.createDataFrame(
+        [("a b a",), ("b c",)], ["text"]
+    )
+
+    def map_f(row):
+        for tok in row["text"].split():
+            yield tok, "1"
+
+    def reduce_f(key, values):
+        return str(sum(int(v) for v in values))
+
+    got_df = map_reduce(df, map_f, reduce_f)
+    got_rdd = map_reduce_rdd(df, map_f, reduce_f, n_partitions=3)
+    assert [tuple(r) for r in got_df.collect()] == [tuple(r) for r in got_rdd.collect()]
+    assert [tuple(r) for r in got_rdd.collect()] == [("a", "2"), ("b", "2"), ("c", "1")]
