@@ -245,3 +245,34 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.mode("overwrite").json(path)
     back = spark.read.json(path)
     return back.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "q_sql_api",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(DISTINCT c.c_custkey) AS n_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw-SQL entry point: the same catalog the DataFrame
+    API uses, registered as temp views and queried with spark.sql —
+    Catalyst compiles both surfaces to identical plans, so everything
+    the catalog verifies for DataFrames holds for SQL users too."""
+    from simplemapreduce_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ("customer", "nation", "orders"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, COUNT(DISTINCT c.c_custkey) AS n_customers,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        """
+    )

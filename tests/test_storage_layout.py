@@ -1,0 +1,89 @@
+"""Storage-layout scale levers: partitioned writes with partition
+pruning, and bucketed tables with shuffle-free co-located joins.
+
+These are the two techniques that turn '100 TB scan' into 'read only
+what the query needs' and 'join without moving the fact table' — both
+must be visible in the physical plan, not just hoped for.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def partitioned_docs(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "smr_scratch", "docs_by_lang")
+    load_table(spark, sf_dir, "documents").write.mode("overwrite").partitionBy("lang").parquet(out)
+    return out
+
+
+def test_partition_pruning(spark, sf_dir, partitioned_docs):
+    df = spark.read.parquet(partitioned_docs).filter(F.col("lang") == "en")
+    plan = _plan(df)
+    # The lang predicate must prune directories, not filter rows.
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:", 1)[1][:200]
+    assert "lang" in seg
+    want = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en").count()
+    assert df.count() == want
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    # Explicit paths make these EXTERNAL tables, so the (static)
+    # warehouse dir is irrelevant; only derby metadata lands in cwd.
+    warehouse = os.path.join(tempfile.gettempdir(), "smr_scratch", "warehouse")
+    for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tbl = f"b_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(warehouse, tbl))
+            .saveAsTable(tbl)
+        )
+    return "b_orders", "b_customer"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucketed_tables):
+    b_orders, b_customer = bucketed_tables
+    o = spark.table(b_orders)
+    c = spark.table(b_customer)
+    joined = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_nationkey").count()
+    # At fixture scale the dim would broadcast (which also avoids the
+    # shuffle, but doesn't exercise bucketing) — disable broadcast so
+    # the plan must rely on bucket co-location.
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        # Co-located buckets: no Exchange between either scan and the join.
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    # And it computes the right answer.
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .join(load_table(spark, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .count()
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
