@@ -141,3 +141,91 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), "n_events"
     )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) AS type_rank
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT d.type_rank, e.event_type, COUNT(*) AS n
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-to-static join: the event stream enriches against a
+    batch dimension (computed once, broadcast per micro-batch), then
+    aggregates. The standard streaming-ETL enrichment shape."""
+    from pyspark.sql import Window as BW
+
+    from simplemapreduce_spark.sources.tables import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("type_rank", F.row_number().over(BW.orderBy("event_type")))
+    )
+    enriched = stream_events(spark, sf_dir).join(dim, "event_type")
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy("type_rank", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return run_stream_to_table(agg, "complete")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id,
+           date_diff('second', c.ts, p.ts) AS secs_to_purchase
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: clicks joined
+    to purchases by the same user within 30 minutes. Watermarks on both
+    sides bound the join state (clicks can be dropped once no purchase
+    within the window can still arrive) — the canonical funnel join,
+    running incrementally."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    out = run_stream_to_table(joined, "append")
+    return out.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_to_purchase"),
+    )
