@@ -73,9 +73,15 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(fn(spark, SF_DIR))
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        materialize(fn(spark, SF_DIR))
-        warm[name] = round(time.perf_counter() - t0, 3)
+        # Steady state = best of three post-warmup runs (JIT tiering on
+        # the heaviest codegen takes 2-3 executions; min is the
+        # standard de-noising estimator).
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        warm[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

@@ -276,3 +276,60 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@query(
+    "q_agg_collect_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic order: collect_set sorted
+    post-hoc (collect order is partition-dependent; the sort pins it)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_median_mode",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus, median(o_totalprice) AS median_price FROM orders GROUP BY 1
+    ),
+    cnt AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders GROUP BY 1, 2
+    ),
+    md AS (
+      SELECT o_orderstatus, o_orderpriority AS mode_priority
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY c DESC, o_orderpriority) AS rk FROM cnt)
+      WHERE rk = 1
+    )
+    SELECT m.o_orderstatus, m.median_price, md.mode_priority
+    FROM m JOIN md ON md.o_orderstatus = m.o_orderstatus
+    """,
+)
+def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated, Spark median == DuckDB median on the
+    same doubles) plus a DETERMINISTIC mode: built from counts with an
+    explicit tie-break rather than engine mode() (whose tie behavior is
+    unspecified)."""
+    from pyspark.sql import Window as MW
+
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(F.median("o_totalprice").alias("median_price"))
+    cnt = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("c"))
+    w = MW.partitionBy("o_orderstatus").orderBy(F.col("c").desc(), F.col("o_orderpriority"))
+    mode = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    return med.join(mode, "o_orderstatus")
