@@ -57,8 +57,10 @@ def map_pairs(df: DataFrame, map_f: MapF) -> DataFrame:
     ``map_f`` as plain dicts (the reference handed (filename,
     contents); any input schema is allowed here)."""
 
+    from simplemapreduce_spark.session import ensure_package_shipped
     from simplemapreduce_spark.sources.tables import ensure_parallelism
 
+    ensure_package_shipped(df.sparkSession)
     df = ensure_parallelism(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -78,6 +80,9 @@ def reduce_pairs(pairs: DataFrame, reduce_f: ReduceF, n_partitions: int | None =
     """Group all values per key and apply the holistic reduce once per
     distinct key. ``n_partitions`` mirrors the reference's nReduce —
     omit to let AQE choose."""
+    from simplemapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(pairs.sparkSession)
     if n_partitions is not None:
         pairs = pairs.repartition(n_partitions, "key")
 
@@ -125,7 +130,10 @@ def map_reduce_rdd(
     contract (/root/reference/src/common/common_reduce.go:56,85) — so
     there is nothing associative to combine map-side.
     """
+    from simplemapreduce_spark.session import ensure_package_shipped
+
     spark = df.sparkSession
+    ensure_package_shipped(spark)
     pairs = df.rdd.flatMap(lambda row: list(map_f(row.asDict())))
     grouped = (
         pairs.groupByKey(n_partitions) if n_partitions else pairs.groupByKey()

@@ -87,6 +87,9 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column."""
+    from simplemapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -140,6 +143,10 @@ def sample_frames(media: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
     """Arrow-batched frame sampling over the binary column."""
     import hashlib
 
+    from simplemapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             hashes = [
@@ -168,6 +175,9 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     output shape instead."""
     import hashlib
 
+    from simplemapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
     target = out_w * out_h
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

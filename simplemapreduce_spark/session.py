@@ -57,3 +57,40 @@ def get_spark(app_name: str = "simplemapreduce_spark", *, cpus: str | None = Non
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``simplemapreduce_spark`` importable on Python workers of
+    ANY session — including one created by an external driver without
+    this repo on PYTHONPATH.
+
+    cloudpickle serializes module-level functions (our mapInPandas /
+    applyInPandas wrappers) BY REFERENCE, so workers must import the
+    package; shipping a zip via addPyFile is the Spark-native way and
+    is exactly what a cluster submit would do (--py-files).
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_CONTEXTS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "smr_scratch", "simplemapreduce_spark_pkg.zip"
+    )
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added to this context
+    _SHIPPED_CONTEXTS.add(id(sc))

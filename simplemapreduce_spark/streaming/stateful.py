@@ -56,6 +56,10 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no float-accumulation drift across engines."""
     import pandas as pd
 
+    from simplemapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
     def update(key, pdfs, state: GroupState):
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
