@@ -52,6 +52,7 @@ def load_all() -> None:
         sampling,
         similarity,
         timeseries,
+        tpch_ext,
         windows,
     )
     from simplemapreduce_spark.streaming import stateful, windows as stream_windows  # noqa: F401
