@@ -49,6 +49,7 @@ def load_all() -> None:
         mr_compat,
         relational,
         relational_ext,
+        relational_more,
         sampling,
         similarity,
         timeseries,

@@ -1,0 +1,117 @@
+"""Additional relational coverage: per-group top-k, conditional /
+arg-extremum aggregates, percent_rank, bitwise aggregates.
+
+Reference parity: all of these are absent in the reference framework
+(SURVEY.md §2.2 — only expressible as user code inside mapF/reduceF,
+/root/reference/src/common/common_map.go:64,
+/root/reference/src/common/common_reduce.go:56); here they are native
+Catalyst operators.
+
+Scale notes:
+- q_topk_per_group is a window over brand partitions — shuffles once on
+  p_brand; at 100 TB the per-partition sort is bounded by brand
+  cardinality skew, acceptable for dimension-sized groups.
+- The aggregates are all partial+final hash aggregates (map-side
+  combine free via Catalyst); no extra shuffles beyond the groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest parts per brand. row_number with a unique
+    tie-break (p_partkey) keeps the answer deterministic on both
+    engines. Catalyst runs this as a single window after one shuffle
+    on p_brand; the rn <= 3 filter is applied streaming per group
+    (WindowGroupLimit pushes the limit into the sort at runtime)."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        p.select("p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_large,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           MAX_BY(o_totalprice, o_orderkey) AS latest_price,
+           MIN_BY(o_totalprice, o_orderkey) AS earliest_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts (count_if ≡ FILTER clause) and arg-extremum
+    aggregates. max_by/min_by key on the unique o_orderkey so the
+    extremum is well-defined on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_large"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.max_by("o_totalprice", "o_orderkey").alias("latest_price"),
+        F.min_by("o_totalprice", "o_orderkey").alias("earliest_price"),
+    )
+
+
+@query(
+    "q_window_percent_rank",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS bal_pct_rank
+    FROM customer
+    """,
+)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank = (rank-1)/(n-1): both engines compute the same
+    integer-ratio double division, so float parity is exact."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment", "c_custkey", F.percent_rank().over(w).alias("bal_pct_rank")
+    )
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           BIT_AND(l_linenumber) AS flags_and,
+           BIT_OR(l_linenumber) AS flags_or,
+           BIT_XOR(l_linenumber) AS flags_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (set-membership style rollups over small int
+    domains); partial+final hash agg, integer-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bit_and(l_linenumber)").alias("flags_and"),
+        F.expr("bit_or(l_linenumber)").alias("flags_or"),
+        F.expr("bit_xor(l_linenumber)").alias("flags_xor"),
+    )
