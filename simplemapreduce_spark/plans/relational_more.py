@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.plans.relational_ext import _scratch_dir
 from simplemapreduce_spark.sources.tables import load_table
 
 
@@ -114,4 +115,55 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_and(l_linenumber)").alias("flags_and"),
         F.expr("bit_or(l_linenumber)").alias("flags_or"),
         F.expr("bit_xor(l_linenumber)").alias("flags_xor"),
+    )
+
+
+@query(
+    "q_source_orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           MIN(s_name) AS first_supplier
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (Spark's second native columnar
+    format next to parquet): write supplier as ORC, read it back,
+    aggregate. Proves schema + value preservation through the ORC
+    connector; filters/projections push down into ORC scans the same
+    way they do for parquet."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    path = _scratch_dir("supplier_orc", sf_dir)
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"), F.min("s_name").alias("first_supplier")
+    )
+
+
+@query(
+    "q_sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders, SUM(o_orderkey) AS key_sum
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned source:
+    write orders partitioned by o_orderstatus, read back with a
+    partition filter. At 100 TB this is the layout that turns a full
+    scan into a directory listing — the o_orderstatus='O' predicate is
+    satisfied by pruning, never by reading data files of other
+    partitions (asserted in tests/test_storage_layout.py for the same
+    write path)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    path = _scratch_dir("orders_part_parquet", sf_dir)
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "O")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"), F.sum("o_orderkey").alias("key_sum")
     )
