@@ -119,6 +119,27 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_lateral_posexplode",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(string_split(text, ' ')) AS token,
+           UNNEST(range(len(string_split(text, ' ')))) AS pos
+    FROM documents
+    """,
+)
+def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral table-generating function with ordinality: posexplode ≡
+    the reference's mapF contract of one input row → n output pairs
+    (/root/reference/src/common/common_map.go:64,71) with the emit
+    position preserved. Runs inside the scan stage (Generate node) —
+    no shuffle; DuckDB zips parallel UNNESTs positionally."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("doc_id", "token", F.col("pos").cast("long").alias("pos"))
+
+
+@query(
     "q_source_orc_roundtrip",
     oracle="""
     SELECT s_nationkey, COUNT(*) AS n_suppliers,

@@ -70,6 +70,21 @@ def test_topk_compiles_to_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """rn <= k over a window must run as WindowGroupLimit (per-group
+    streaming top-k inside the sort) — not a full window + filter."""
+    plan = _plan(catalog.QUERIES["q_topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_lateral_posexplode_stays_in_scan_stage(spark, sf_dir):
+    """Generate (posexplode) must run pipelined with the scan — no
+    exchange anywhere in the plan."""
+    plan = _plan(catalog.QUERIES["q_lateral_posexplode"](spark, sf_dir))
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+
+
 def test_minhash_candidates_join_is_equi(spark, sf_dir):
     """The LSH candidate join must be a hash/sort-merge EQUI join on
     (band, band_hash) — never a nested-loop all-pairs product."""
