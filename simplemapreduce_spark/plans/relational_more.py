@@ -118,6 +118,29 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_hll_merge")  # rows-only: sketch bytes are engine-specific
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable-sketch aggregation: build one Datasketches
+    HLL sketch of distinct l_partkey per (l_returnflag, l_linestatus)
+    group, then union-merge the partial sketches up to l_returnflag and
+    estimate. This is the pattern that scales: partial sketches are a
+    few KB regardless of group size, so re-aggregating 100 TB to a
+    coarser grain moves sketch bytes, not rows. Accuracy bound is
+    asserted in tests/test_quality_bounds.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "l_returnflag",
+            F.hll_sketch_estimate("merged").alias("approx_distinct_parts"),
+        )
+    )
+
+
 @query(
     "q_lateral_posexplode",
     oracle="""

@@ -38,6 +38,24 @@ def test_approx_count_distinct_within_bounds(spark, sf_dir):
         assert abs(approx[k] - n_exact) <= max(2, 0.1 * n_exact), (k, approx[k], n_exact)
 
 
+def test_hll_merge_estimate_within_bounds(spark, sf_dir):
+    """The two-level sketch merge (partial per linestatus → union per
+    returnflag) must estimate within HLL error of the exact distinct
+    count computed directly at the coarse grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count_distinct("l_partkey").alias("n")).collect()
+    }
+    merged = {
+        r["l_returnflag"]: r["approx_distinct_parts"]
+        for r in catalog.QUERIES["q_agg_hll_merge"](spark, sf_dir).collect()
+    }
+    assert set(merged) == set(exact)
+    for k, n_exact in exact.items():
+        assert abs(merged[k] - n_exact) <= max(2, 0.05 * n_exact), (k, merged[k], n_exact)
+
+
 def test_approx_percentile_within_rank_bounds(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     [q25, q50, q75] = o.approxQuantile("o_totalprice", [0.25, 0.5, 0.75], 0.01)
