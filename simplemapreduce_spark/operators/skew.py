@@ -35,7 +35,17 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join `fact` to `dim` on `on`, salted `n_salt` ways. `fact_unique`
-    must be a deterministic per-row expression (id column)."""
+    must be a deterministic per-row expression (id column).
+
+    Only inner/left joins are semantics-preserving: the dim side is
+    replicated n_salt ways, so 'right'/'full' would emit each unmatched
+    dim row n_salt times."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join preserves semantics only for inner/left joins, got {how!r}: "
+            "the dim side is replicated n_salt ways, so right/full would duplicate "
+            "unmatched dim rows"
+        )
     uniq = F.col(fact_unique) if isinstance(fact_unique, str) else fact_unique
     f = fact.withColumn("_salt", F.pmod(F.hash(uniq), F.lit(n_salt)))
     d = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
@@ -46,7 +56,7 @@ def salted_join(
     "q_join_salted_skew",
     oracle="""
     SELECT e.event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            MIN(t.type_rank) AS type_rank
     FROM events e
     JOIN (
@@ -72,6 +82,6 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(e, dim, on="event_type", fact_unique="event_id")
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         F.min("type_rank").alias("type_rank"),
     )

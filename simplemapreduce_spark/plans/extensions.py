@@ -63,10 +63,15 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_approx_quantiles")  # rows-only: sketch parameters are engine-specific
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna style sketch); exact twin is
-    q_agg_minmax_percentile."""
+    q_agg_minmax_percentile. Output is three scalar columns, not the
+    array — array-typed catalog outputs crash the driver's pandas
+    canonicalizer (CORRECTNESS_r01 `unhashable type: 'list'`)."""
     o = load_table(spark, sf_dir, "orders")
+    q = F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
     return o.groupBy("o_orderstatus").agg(
-        F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)").alias("quartiles")
+        q.getItem(0).alias("q25"),
+        q.getItem(1).alias("q50"),
+        q.getItem(2).alias("q75"),
     )
 
 
@@ -127,20 +132,22 @@ def q_mr_compat_sorted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id AS media_id,
            4 AS n_frames,
-           list_transform(range(4), i -> md5(substring(text,
+           array_to_string(list_transform(range(4), i -> md5(substring(text,
                CAST(i * length(text) // 4 + 1 AS BIGINT),
-               CAST((i + 1) * length(text) // 4 - i * length(text) // 4 AS BIGINT)))) AS frame_hashes
+               CAST((i + 1) * length(text) // 4 - i * length(text) // 4 AS BIGINT)))), ',') AS frame_hashes
     FROM documents
     """,
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over the binary payload (deterministic chunk
     fingerprints standing in for decoded keyframes) — Arrow-batched
-    mapInPandas, one row per media with the per-frame hash array."""
+    mapInPandas, one row per media. The library operator returns the
+    per-frame hash ARRAY; the catalog boundary joins it to a string
+    (array outputs crash the driver's pandas canonicalizer)."""
     from simplemapreduce_spark.operators.multimodal import sample_frames
 
     media = documents_as_media(ensure_parallelism(load_table(spark, sf_dir, "documents")))
-    return sample_frames(media)
+    return sample_frames(media).withColumn("frame_hashes", F.array_join("frame_hashes", ","))
 
 
 @query("q_multimodal_resize")  # rows-only: python stride-slice is not SQL-expressible

@@ -13,6 +13,9 @@ explode/groupBy — which Catalyst executes with partial aggregation
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,4 +83,38 @@ def mr_key_value_render(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string("%s: %s", F.col("token"), F.col("cnt").cast("string")).alias("line")
         )
         .orderBy("line")
+    )
+
+
+@query(
+    "q_source_text_whole_files",
+    oracle=f"""
+    SELECT token, count(*) AS cnt
+    FROM ({_TOKENS_FROM_DOCS})
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q_source_text_whole_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole-file input contract through the gate:
+    documents.text written out as a many-small-files text corpus, read
+    back as exact ``(filename, contents)`` pairs via wholeTextFiles
+    (common_map.go:66-71 — one map task per file), then word-counted.
+    The count equals the direct word count over documents, so the
+    round-trip + whole-file scan is value-checked, not just smoke-run."""
+    from simplemapreduce_spark.sources.text import read_whole_files
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "smr_scratch", f"docs_text_{sf_tag}")
+    # 4 files stands in for the reference's one-input-file-per-map-task
+    # layout; at scale read_whole_files is only for many-small-files
+    # corpora (each file is non-splittable).
+    docs.coalesce(4).write.mode("overwrite").text(path)
+    files = read_whole_files(spark, os.path.join(path, "part-*"))
+    return (
+        files.select(F.explode(F.split("contents", r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
     )

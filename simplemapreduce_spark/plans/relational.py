@@ -33,7 +33,17 @@ from simplemapreduce_spark.sources.tables import load_table, register_tables
 
 def _dsum(c: Column, scale: int = 2) -> Column:
     """Order-insensitive exact sum: per-row cast to decimal, exact
-    decimal addition, final cast pins the output type.
+    decimal addition, FINAL CAST TO DOUBLE.
+
+    Why decimal inside: double addition is order-sensitive; decimal is
+    exact, so partial-aggregation order can never change a ulp.
+    Why double outside: the driver stringifies results through pandas —
+    Spark DECIMAL arrives as `Decimal('253942.00')` (renders with
+    trailing zeros) while DuckDB DECIMAL arrives as float64
+    (`'253942.0'`), so a DECIMAL output column hash-mismatches even
+    when numerically identical (VERDICT.md round 1, item 1). An exact
+    decimal cast to double is correctly rounded on both engines →
+    bit-identical float64 → identical strings.
 
     ONLY safe on source columns whose true values have <= `scale`
     decimal digits (money/rate columns here): the double is then never
@@ -43,7 +53,7 @@ def _dsum(c: Column, scale: int = 2) -> Column:
     1234.56*0.95 is an exact .xx5 tie in binary-adjacent form, and the
     two engines round those ties differently (observed: HALF_UP on the
     shortest repr vs llround on the binary value)."""
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast(f"decimal(18,{scale})")
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
 
 def _money(name: str) -> Column:
@@ -59,11 +69,12 @@ def _one_plus(name: str) -> Column:
     return F.lit(1).cast("decimal(3,2)") + F.col(name).cast("decimal(4,2)")
 
 
-def _davg(c: Column, scale: int = 4) -> Column:
-    """avg as decimal-sum / count — deterministic double division."""
-    return (
-        F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c)
-    ).cast(f"decimal(18,{scale})")
+def _davg(c: Column) -> Column:
+    """avg as decimal-sum / count — deterministic double division,
+    double output (no final decimal rounding: double→decimal casts can
+    disagree between engines at exact half boundaries, and DECIMAL
+    output columns break driver string-hash parity anyway)."""
+    return F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c)
 
 
 # ---------------------------------------------------------------------------
@@ -74,13 +85,13 @@ def _davg(c: Column, scale: int = 4) -> Column:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS DECIMAL(18,4)) AS avg_qty,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS DECIMAL(18,4)) AS avg_price,
-           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS DECIMAL(18,4)) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -100,8 +111,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dsum(F.col("l_quantity")).alias("sum_qty"),
             _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             _davg(F.col("l_quantity")).alias("avg_qty"),
             _davg(F.col("l_extendedprice")).alias("avg_price"),
             _davg(F.col("l_discount")).alias("avg_disc"),
@@ -113,7 +124,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -132,7 +143,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(_money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -199,7 +210,7 @@ def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -215,7 +226,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            COUNT(*) AS n
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -231,7 +242,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -241,7 +252,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -252,8 +263,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)) AS O,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS F
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -274,7 +285,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -303,7 +314,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -316,7 +327,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -350,7 +361,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -360,7 +371,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_broadcast",
     oracle="""
     SELECT p_brand, COUNT(*) AS n_lineitems,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -381,7 +392,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_left_outer",
     oracle="""
     SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spend
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     """,
@@ -396,9 +407,7 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(_dsum(F.col("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total_spend"),
+            F.coalesce(_dsum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spend"),
         )
     )
 
@@ -440,7 +449,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
       VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50)
     )
     SELECT band, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM part JOIN bands ON p_size BETWEEN lo AND hi
     GROUP BY band
     """,
@@ -659,7 +668,7 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
            CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
            CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
-           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
            CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch_start,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
     FROM orders
@@ -672,7 +681,9 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
         F.quarter("o_orderdate").alias("order_quarter"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        # string, not DATE: Spark DATE arrives in pandas as datetime.date
+        # objects while DuckDB DATE arrives as datetime64 — str() differs.
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
             "days_since_epoch_start"
         ),
@@ -689,7 +700,7 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_pct,
            ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
            ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
-           CAST(POWER(l_tax + 1, 2) AS DECIMAL(18,6)) AS tax_sq
+           CAST(CAST(POWER(l_tax + 1, 2) AS DECIMAL(18,6)) AS DOUBLE) AS tax_sq
     FROM lineitem
     """,
 )
@@ -705,7 +716,7 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_discount") * 100).alias("disc_pct"),
         F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-        F.pow(F.col("l_tax") + 1, 2).cast("decimal(18,6)").alias("tax_sq"),
+        F.pow(F.col("l_tax") + 1, 2).cast("decimal(18,6)").cast("double").alias("tax_sq"),
     )
 
 
@@ -736,7 +747,7 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal < 9000 THEN 'mid'
                 ELSE 'high' END AS balance_tier,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
     FROM customer GROUP BY 1
     """,
 )

@@ -188,7 +188,7 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sink_partitioned_parquet",
     oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n_orders, SUM(o_orderkey) AS key_sum
+    SELECT o_orderpriority, COUNT(*) AS n_orders, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
     FROM orders
     WHERE o_orderstatus = 'O'
     GROUP BY o_orderpriority

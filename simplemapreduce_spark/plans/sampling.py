@@ -83,7 +83,7 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM quality
       ) WHERE rn = 1
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM deduped GROUP BY lang
     """,
 )

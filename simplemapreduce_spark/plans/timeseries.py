@@ -25,7 +25,7 @@ _GAP_MICROS = 30 * 60 * 1_000_000  # 30-minute session gap
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -37,7 +37,7 @@ def q_ts_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
@@ -54,7 +54,7 @@ def q_ts_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT half_start - INTERVAL '30 minutes' AS window_start, value FROM halves
     )
     SELECT window_start, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM assigned GROUP BY window_start
     """,
 )
@@ -66,7 +66,7 @@ def q_ts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -222,8 +222,8 @@ def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT day, event_type, n,
-           CAST(CAST((2 * cents * 100 + n) // (2 * n) AS DECIMAL(22,0))
-                * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(18,4)) AS avg_value,
+           CAST(CAST(CAST((2 * cents * 100 + n) // (2 * n) AS DECIMAL(22,0))
+                * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(18,4)) AS DOUBLE) AS avg_value,
            min_value, max_value
     FROM d
     """,
@@ -245,8 +245,8 @@ def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n",
             F.expr(
-                "CAST(CAST((2 * cents * 100 + n) div (2 * n) AS DECIMAL(22,0))"
-                " * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(18,4))"
+                "CAST(CAST(CAST((2 * cents * 100 + n) div (2 * n) AS DECIMAL(22,0))"
+                " * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(18,4)) AS DOUBLE)"
             ).alias("avg_value"),
             "min_value",
             "max_value",

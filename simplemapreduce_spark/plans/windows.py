@@ -82,7 +82,7 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,2)) AS running_spend
+           ) AS DOUBLE) AS running_spend
     FROM orders
     """,
 )
@@ -98,7 +98,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("decimal(18,2)").alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
     )
 
 
@@ -106,8 +106,8 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_moving_avg",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER w AS DOUBLE)
-                / COUNT(l_quantity) OVER w AS DECIMAL(18,4)) AS qty_ma4
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                / COUNT(l_quantity) OVER w AS qty_ma4
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -125,7 +125,7 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = (
         F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w).cast("double")
         / F.count("l_quantity").over(w)
-    ).cast("decimal(18,4)")
+    )
     return li.select("l_suppkey", "l_orderkey", "l_linenumber", ma.alias("qty_ma4"))
 
 

@@ -59,7 +59,7 @@ def get_spark(app_name: str = "simplemapreduce_spark", *, cpus: str | None = Non
     return spark
 
 
-_SHIPPED_CONTEXTS: set[int] = set()
+_SHIPPED_APPS: set[str] = set()
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
@@ -71,26 +71,38 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     applyInPandas wrappers) BY REFERENCE, so workers must import the
     package; shipping a zip via addPyFile is the Spark-native way and
     is exactly what a cluster submit would do (--py-files).
+
+    Concurrency-safe: the zip is built in a unique temp file and
+    os.replace()d into place (no process can ship a half-written zip),
+    and the shipped-set keys on applicationId (id(sc) can be reused
+    after a context is garbage-collected).
     """
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED_CONTEXTS:
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_APPS:
         return
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
-        tempfile.gettempdir(), "smr_scratch", "simplemapreduce_spark_pkg.zip"
-    )
-    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
-    with zipfile.ZipFile(zip_path, "w") as z:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    scratch = os.path.join(tempfile.gettempdir(), "smr_scratch")
+    zip_path = os.path.join(scratch, "simplemapreduce_spark_pkg.zip")
+    os.makedirs(scratch, exist_ok=True)
+    fd, tmp_path = tempfile.mkstemp(suffix=".zip", dir=scratch)
+    try:
+        with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+        os.replace(tmp_path, zip_path)
+    except BaseException:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+        raise
     try:
         sc.addPyFile(zip_path)
     except Exception:
         pass  # already added to this context
-    _SHIPPED_CONTEXTS.add(id(sc))
+    _SHIPPED_APPS.add(app_id)

@@ -43,7 +43,7 @@ _COUNT_STATE = T.StructType(
     "q_stream_stateful_counts",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS total_value_cents
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
     FROM events GROUP BY user_id
     """,
 )
@@ -54,6 +54,7 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     last emission per user equals the batch aggregate — exactly
     oracle-checkable. Value summed in integer cents (2-decimal data)
     so no float-accumulation drift across engines."""
+    import numpy as np
     import pandas as pd
 
     from simplemapreduce_spark.session import ensure_package_shipped
@@ -64,7 +65,12 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(round(pdf["value"].mul(100).round().sum())) if len(pdf) else 0
+            # per-element half-away-from-zero rounding (the oracle's
+            # CAST(.. AS DECIMAL) convention) — pandas .round() would
+            # round half-to-even and diverge on exact half-cent doubles
+            if len(pdf):
+                v = pdf["value"].to_numpy()
+                cents += int(np.floor(np.abs(v) * 100 + 0.5).astype("int64") @ np.sign(v).astype("int64"))
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]})
 
