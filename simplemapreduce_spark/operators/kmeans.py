@@ -1,0 +1,110 @@
+"""Distributed Lloyd's k-means over an ``array<double>`` column —
+the centroid-training upgrade for the IVF index
+(plans/similarity.py q_sim_ivf_topk documents first-N centroids as the
+placeholder this replaces).
+
+Spark-first shape, per iteration:
+  1. assign: broadcast the k centroids, score every vector against all
+     k JVM-side (zip_with/aggregate fold), keep the argmin via a
+     single-pass ``min_by`` aggregate — no window, no shuffle of the
+     corpus beyond the one groupBy.
+  2. update: posexplode each assigned vector to (cell, pos, val),
+     groupBy (cell, pos) mean, re-assemble the centroid array ordered
+     by pos. Two narrow aggregations; all JVM-side.
+
+Everything is deterministic given the input order contract (init =
+k lowest ids); centroid coordinates are rounded each iteration so the
+float-sum partition-order jitter (~1e-13) can never flip a later
+assignment. k-means is iterative and therefore not oracle-expressible
+in one SQL statement — the catalog query is rows-only, with quality
+bounds (monotone inertia, recall vs brute force) asserted in
+tests/test_quality_bounds.py.
+
+Scale: the corpus is never self-joined and never collected; only the
+k×dim centroid table moves to the driver between iterations (tiny).
+Reference has no ANN surface; this extends SURVEY.md §2.2's
+similarity-search family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_l2(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared-L2, ties to
+    the lowest cid). `vectors`: (vec_id, e); `centroids`: (cid, ce).
+    Returns (vec_id, e, cell, d2). One broadcast join + one min_by agg.
+    """
+    scored = vectors.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "e",
+        "cid",
+        F.round(_sq_l2(F.col("e"), F.col("ce")), 8).alias("d2"),
+    )
+    # min_by over struct(d2, cid) -> deterministic argmin in ONE pass
+    # (a row_number window would shuffle on vec_id and sort).
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("b"),
+        F.first("e").alias("e"),
+    )
+    return best.select(
+        "vec_id", "e", F.col("b.cid").alias("cell"), F.col("b.d2").alias("d2")
+    )
+
+
+def update_centroids(assigned: DataFrame, round_digits: int = 6) -> DataFrame:
+    """New centroid = element-wise mean of each cell's members.
+    Rounded so partition-order float jitter can't flip assignments."""
+    return (
+        assigned.select("cell", F.posexplode("e").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), round_digits).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("cell").alias("cid"),
+            F.transform("pm", lambda x: x["m"]).alias("ce"),
+        )
+    )
+
+
+def kmeans_fit(vectors: DataFrame, k: int, iters: int = 3) -> DataFrame:
+    """Train k centroids with `iters` Lloyd iterations. Returns
+    (cid, ce). Init = the k lowest vec_ids (deterministic; k-means++
+    would be the quality upgrade, same plumbing).
+
+    The centroid table is materialized to the driver between
+    iterations (k×dim doubles — bytes, not data) so each iteration's
+    plan starts from a literal table instead of a k-deep recursive
+    subtree that every later broadcast would recompute.
+    """
+    cent = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    spark = vectors.sparkSession
+    for _ in range(iters):
+        assigned = assign_cells(vectors, cent)
+        new_cent = update_centroids(assigned)
+        # collect k tiny rows; re-create as a literal DataFrame so the
+        # next iteration's broadcast is a local table, not a plan.
+        rows = new_cent.collect()
+        cent = spark.createDataFrame(rows, schema="cid bigint, ce array<double>")
+    return cent
+
+
+def inertia(vectors: DataFrame, centroids: DataFrame) -> float:
+    """Sum of squared distances to the assigned centroid (the k-means
+    objective; must be non-increasing over Lloyd iterations)."""
+    return assign_cells(vectors, centroids).agg(F.sum("d2")).collect()[0][0]

@@ -56,7 +56,14 @@ def get_spark(app_name: str = "simplemapreduce_spark", *, cpus: str | None = Non
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    global _SCRATCH_GCED
+    if not _SCRATCH_GCED:
+        _SCRATCH_GCED = True
+        gc_scratch()
     return spark
+
+
+_SCRATCH_GCED = False
 
 
 _SHIPPED_APPS: set[str] = set()
@@ -106,3 +113,34 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     except Exception:
         pass  # already added to this context
     _SHIPPED_APPS.add(app_id)
+
+
+def gc_scratch(max_age_hours: float = 24.0) -> int:
+    """Garbage-collect stale roundtrip/sink artifacts under the scratch
+    dir (the reference deletes its intermediate mr-* files at shutdown,
+    master.go:138-148; Spark's own shuffle files are lifecycle-managed,
+    but our source/sink roundtrip dirs are not). Age-based so artifacts
+    of any live concurrent session (always fresh) are never touched.
+    Returns the number of entries removed."""
+    import shutil
+    import tempfile
+    import time
+
+    scratch = os.path.join(tempfile.gettempdir(), "smr_scratch")
+    if not os.path.isdir(scratch):
+        return 0
+    cutoff = time.time() - max_age_hours * 3600
+    removed = 0
+    for entry in os.listdir(scratch):
+        full = os.path.join(scratch, entry)
+        try:
+            if os.path.getmtime(full) >= cutoff:
+                continue
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.unlink(full)
+            removed += 1
+        except OSError:
+            continue  # raced with a concurrent writer; leave it
+    return removed

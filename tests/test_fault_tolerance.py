@@ -1,0 +1,87 @@
+"""Task-failure fault tolerance — the Spark analogue of the
+reference's worker-churn test (distributed_test.go:39-73: kill workers
+mid-job, assert the job still completes correctly).
+
+Spark's TaskScheduler re-runs failed tasks up to spark.task.maxFailures
+(session.py delegates fault tolerance to it, SURVEY.md §2.1 operator 8).
+Local mode only retries with the ``local[N,maxFailures]`` master form,
+which the shared test session doesn't use — so this test drives a
+dedicated subprocess session and injects a deterministic first-attempt
+task failure via TaskContext.attemptNumber().
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import os, sys
+from pyspark.sql import SparkSession, functions as F
+
+spark = (
+    SparkSession.builder.master("local[4,2]")  # 2 task attempts
+    .appName("smr-fault-injection")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+df = spark.range(0, 1000, 1, 4)  # 4 partitions
+
+def flaky(batches):
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    # Partition 0's FIRST attempt dies mid-task — the retried attempt
+    # (and every other partition) completes normally.
+    if ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+        raise RuntimeError("injected worker failure (attempt 0)")
+    for pdf in batches:
+        pdf["doubled"] = pdf["id"] * 2
+        yield pdf
+
+out = df.mapInPandas(flaky, "id long, doubled long")
+total = out.agg(F.sum("doubled").alias("s")).collect()[0]["s"]
+n = out.count()
+assert n == 1000, n
+assert total == 2 * sum(range(1000)), total
+print("FAULT-TOLERANCE-OK", n, total)
+"""
+
+
+def test_job_survives_injected_task_failure():
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "FAULT-TOLERANCE-OK 1000 999000" in proc.stdout
+    # the injected failure really happened (Spark logs the lost task)
+    assert "injected worker failure" in proc.stderr
+
+
+def test_job_fails_when_retries_exhausted():
+    """With maxFailures=1 the same injection must kill the job — proving
+    the retry path (not luck) is what saved the first test."""
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    script = _SCRIPT.replace("local[4,2]", "local[4,1]")
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert proc.returncode != 0
+    assert "injected worker failure" in (proc.stderr + proc.stdout)

@@ -105,3 +105,63 @@ def test_key_value_sink_golden_bytes(spark):
     [part] = glob.glob(os.path.join(path, "part-*"))
     with open(part, "rb") as f:
         assert f.read() == b"1: one\n10: ten\n2: two\n"
+
+
+def test_kmeans_inertia_monotone_and_ivf_recall(spark, sf_dir):
+    """Lloyd's iterations must not increase the k-means objective, and
+    the k-means-trained IVF search must recover a solid fraction of the
+    exact brute-force top-k (it probes 2 of 8 cells, so perfect recall
+    is not promised — but trained cells beat the first-N placeholder's
+    contract of 'same cost model' and must clear 0.5 here)."""
+    from simplemapreduce_spark.operators.kmeans import (
+        assign_cells,
+        inertia,
+        kmeans_fit,
+        update_centroids,
+    )
+    from simplemapreduce_spark.plans.similarity import _vectors
+
+    v = _vectors(spark, sf_dir)
+    cent0 = (
+        v.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    i0 = inertia(v, cent0)
+    cent1 = update_centroids(assign_cells(v, cent0))
+    i1 = inertia(v, cent1)
+    cent3 = kmeans_fit(v, k=8, iters=3)
+    i3 = inertia(v, cent3)
+    assert i1 <= i0 * (1 + 1e-9), (i0, i1)
+    assert i3 <= i1 * (1 + 1e-6), (i1, i3)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.QUERIES["q_sim_topk_bruteforce"](spark, sf_dir).collect()
+        if r["rank"] <= 3
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.QUERIES["q_sim_ivf_kmeans_topk"](spark, sf_dir).collect()
+    }
+    assert exact, "brute-force baseline returned nothing; fixture changed?"
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"k-means IVF recall {recall:.2f} < 0.5"
+
+
+def test_kmeans_deterministic_across_reruns(spark, sf_dir):
+    """Centroid rounding pins the result: two independent fits must
+    produce identical assignments (reproducibility contract for
+    curation pipelines — same input, same index, no RNG)."""
+    from simplemapreduce_spark.operators.kmeans import assign_cells, kmeans_fit
+    from simplemapreduce_spark.plans.similarity import _vectors
+
+    v = _vectors(spark, sf_dir)
+    a = {
+        (r["vec_id"], r["cell"])
+        for r in assign_cells(v, kmeans_fit(v, 8, 2)).select("vec_id", "cell").collect()
+    }
+    b = {
+        (r["vec_id"], r["cell"])
+        for r in assign_cells(v, kmeans_fit(v, 8, 2)).select("vec_id", "cell").collect()
+    }
+    assert a == b
