@@ -1,0 +1,239 @@
+"""Training-data curation operators over ``documents`` — the second
+wave of LLM-pipeline ops beyond plans/llm_text.py: repetition
+detection (Gopher-style duplicate-n-gram fraction), PII redaction,
+document chunking for context windows, per-domain caps, stratified
+(language-balanced) sampling, and token-budget packing.
+
+All JVM-side built-in column functions — no Python UDFs — and every
+query is DuckDB-oracle-checked. Selection/assignment decisions are
+pure functions of row content (hashes, integer math), never RNG or
+partition order, so results are reproducible across engines, reruns,
+and repartitioning — the property that matters when the pipeline runs
+over 100 TB and must be auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.functions.text import tokens
+from simplemapreduce_spark.sources.tables import ensure_parallelism, load_table
+
+_SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+# Spark-side bigram array from a `toks` array column (same construction
+# as plans/llm_text.py q_text_bigrams).
+_BIGRAMS_EXPR = (
+    "transform(sequence(1, size(toks) - 1), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+)
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(1, len({_SQL_TOKENS})),
+                            i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1]) AS bg
+      FROM documents
+    )
+    SELECT doc_id,
+           len(bg) AS n_bigrams,
+           len(list_distinct(bg)) AS n_distinct_bigrams,
+           1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / GREATEST(len(bg), 1)
+             AS dup_bigram_frac
+    FROM b
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (Gopher-style quality rule:
+    drop documents whose duplicate-n-gram fraction is high). Row-local
+    array math — zero shuffles, runs at scan speed."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    bg = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.expr(_BIGRAMS_EXPR).alias("bg")
+    )
+    n = F.size("bg")
+    nd = F.size(F.array_distinct("bg"))
+    return bg.select(
+        "doc_id",
+        n.cast("long").alias("n_bigrams"),
+        nd.cast("long").alias("n_distinct_bigrams"),
+        (F.lit(1.0) - nd.cast("double") / F.greatest(n, F.lit(1))).alias("dup_bigram_frac"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "q_text_pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw, '\\+1-555-[0-9]{{4}}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '\\+1-555-[0-9]{{4}}', '<PHONE>', 'g')) AS redacted_fp
+    FROM enriched
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-redact emails and phone numbers, count the
+    redactions, fingerprint the scrubbed text. The fixture corpus has
+    no natural PII, so the query deterministically injects one email +
+    one phone per document first — both engines build and scrub the
+    same strings, proving the redaction machinery end-to-end (the md5
+    would expose any engine disagreement in match semantics).
+    Patterns are RE2-and-Java-regex-compatible by construction."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    enriched = d.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-char overlap
+
+
+@query(
+    "q_text_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           unnest(range(0, (length(text) - 1) // {CHUNK_STRIDE} + 1)) AS chunk_id,
+           unnest(list_transform(range(0, (length(text) - 1) // {CHUNK_STRIDE} + 1),
+                  i -> substr(text, CAST(1 + {CHUNK_STRIDE} * i AS BIGINT), {CHUNK_SIZE})))
+             AS chunk
+    FROM documents
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking for context windows: {CHUNK_SIZE}-char
+    chunks every {CHUNK_STRIDE} chars (16-char overlap), one output row
+    per chunk. Chunk boundaries are pure integer math on the row —
+    row-local explode, no shuffle, same contract at any scale. (A
+    token-aware chunker swaps the substring for a token-slice; the
+    plan shape is identical.)"""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    chunks = F.expr(
+        f"transform(sequence(0, int((length(text) - 1) div {CHUNK_STRIDE})), "
+        f"i -> struct(cast(i as bigint) as chunk_id, substring(text, 1 + {CHUNK_STRIDE} * i, {CHUNK_SIZE}) as chunk))"
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    )
+
+
+DOMAIN_CAP = 20
+
+
+@query(
+    "q_domain_caps",
+    oracle=f"""
+    SELECT source, doc_id, rnk FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= {DOMAIN_CAP}
+    """,
+)
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (anti-domination rule: no source may
+    contribute more than {DOMAIN_CAP} documents, keeping the longest
+    first deterministically). Catalyst executes the rank<=k filter as
+    WindowGroupLimit — per-partition top-k heaps before the shuffle,
+    so the full sort never happens (same plan family as
+    q_topk_per_group)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= DOMAIN_CAP)
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced (stratified) sampling: downsample the dominant
+    language (en keeps 25%, everything else 75%) via the same
+    content-hash membership rule as q_sample_hash — per-row local
+    decision, no RNG, no per-group counting pass, identical on every
+    engine. One aggregation measures the realized rates."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = F.when(F.col("lang") == "en", "40").otherwise("c0")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(bucket < threshold, 1).otherwise(0)).alias("n_sampled"),
+    )
+
+
+PACK_BUDGET = 2048
+
+
+@query(
+    "q_pack_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({_SQL_TOKENS}) AS n_tokens FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: assign documents (per language, in stable
+    doc_id order) to consecutive {PACK_BUDGET}-token training shards —
+    pack_id = floor(running token count before this doc / budget).
+    Pure integer window math: deterministic, engine-portable, and a
+    single window shuffle at any scale. (Greedy bin packing that never
+    splits a doc across shards would be the stateful variant —
+    applyInPandas per lang — at the cost of exact shard fill.)"""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    running = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        ((running - F.col("n_tokens")) / PACK_BUDGET).cast("long").alias("pack_id"),
+    )

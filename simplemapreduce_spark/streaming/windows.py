@@ -229,3 +229,31 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_to_purchase"),
     )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates on (user_id, event_type)
+    keeps the first occurrence of each pair across the whole stream
+    (exact, state holds one entry per distinct key — the contract that
+    makes the post-hoc distinct-count equal the batch answer). The
+    bounded-state production variant is dropDuplicatesWithinWatermark,
+    which trades exactness across far-apart duplicates for state
+    eviction; its result is not batch-equal, so the exact form is the
+    oracled one. The deduped APPEND stream lands in the sink; the
+    per-type count is batch post-processing of the sink table."""
+    deduped = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    out = run_stream_to_table(deduped, "append")
+    return out.groupBy("event_type").agg(
+        F.count("user_id").alias("n_distinct_users")
+    )

@@ -98,3 +98,31 @@ def test_sim_bruteforce_broadcasts_queries(spark, sf_dir):
     must NOT shuffle (one pass over the big side)."""
     plan = _plan(catalog.QUERIES["q_sim_topk_bruteforce"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_domain_caps_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(catalog.QUERIES["q_domain_caps"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan  # per-partition top-k heap, no full sort
+
+
+def test_subquery_in_rewrites_to_semi_join(spark, sf_dir):
+    plan = _plan(catalog.QUERIES["q_subquery_in"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Broadcast" in plan  # customer side is dimension-sized
+
+
+def test_subquery_correlated_rewrites_to_aggregate_join(spark, sf_dir):
+    """The correlated MAX must become agg-then-join, not per-row
+    re-execution: exactly one scan-aggregate of orders feeding a join."""
+    plan = _plan(catalog.QUERIES["q_subquery_correlated"](spark, sf_dir))
+    assert "Join" in plan
+    assert plan.count("Subquery") == 0  # fully decorrelated
+
+
+def test_curation_ops_no_python_udf(spark, sf_dir):
+    """Repetition/PII/chunking/packing must stay JVM-side (no
+    BatchEvalPython / ArrowEvalPython stages)."""
+    for name in ("q_text_repetition", "q_text_pii_redact", "q_text_chunks",
+                 "q_domain_caps", "q_sample_stratified", "q_pack_token_budget"):
+        plan = _plan(catalog.QUERIES[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
