@@ -233,11 +233,18 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized (small) so its join broadcasts. ln() arguments are
     exact integer ratios, so both engines evaluate the same double."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    # tf is already one row per (doc, token), so document frequency is
-    # a plain COUNT over it — no count_distinct expand.
+    # doc_len is row-local (array size BEFORE the explode) and rides
+    # the shuffle as a carried column — no separate length aggregation
+    # and no doc_id join. One full-size shuffle total (tf); document
+    # frequency aggregates the already-vocabulary-sized tf and joins
+    # back as a broadcast.
+    toks = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("doc_len"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("cnt"), F.first("doc_len").alias("doc_len")
+    )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("n_docs"))
     n = d.agg(F.count("*").alias("n_total"))
     tfidf = F.round(
@@ -246,8 +253,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "token")
+        tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "token", tfidf.alias("tfidf"))
     )
