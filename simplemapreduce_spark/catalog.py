@@ -111,6 +111,7 @@ def load_all() -> None:
     from simplemapreduce_spark.operators import ml_lsh, skew  # noqa: F401
     from simplemapreduce_spark.plans import (  # noqa: F401
         curation,
+        decontam,
         subqueries,
         dedup,
         extensions,

@@ -126,3 +126,39 @@ def test_curation_ops_no_python_udf(spark, sf_dir):
                  "q_domain_caps", "q_sample_stratified", "q_pack_token_budget"):
         plan = _plan(catalog.QUERIES[name](spark, sf_dir))
         assert "EvalPython" not in plan, name
+
+
+def test_blocklist_is_broadcast_anti_join(spark, sf_dir):
+    """Deny-list filtering must be a broadcast LEFT ANTI join — a
+    map-side hash filter, zero shuffle of the corpus side."""
+    plan = _plan(catalog.QUERIES["q_curation_blocklist"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark n-gram set is the small side and must broadcast;
+    the corpus side must never be nested-loop joined."""
+    plan = _plan(catalog.QUERIES["q_decontaminate_ngram"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Connected components must place both endpoints of every near-dup
+    pair in the same component, and each component_id must be the min
+    doc_id of its members (the deterministic keeper convention)."""
+    pairs = catalog.QUERIES["q_dedup_minhash_lsh"](spark, sf_dir).collect()
+    comp = catalog.QUERIES["q_dedup_clusters"](spark, sf_dir).collect()
+    label = {r.doc_id: r.component_id for r in comp}
+    for p in pairs:
+        assert label[p.doc_a] == label[p.doc_b]
+    members: dict[int, list[int]] = {}
+    for r in comp:
+        members.setdefault(r.component_id, []).append(r.doc_id)
+    for cid, ids in members.items():
+        assert cid == min(ids)
+    sizes = {r.doc_id: r.component_size for r in comp}
+    for cid, ids in members.items():
+        for i in ids:
+            assert sizes[i] == len(ids)
