@@ -203,6 +203,106 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target language mixture for q_data_mixture (must sum to 1).
+MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.15, "zh": 0.15, "fr": 0.15, "es": 0.15}
+
+_SQL_MIX_WEIGHTS = ", ".join(
+    f"('{lang}', CAST({w} AS DOUBLE))" for lang, w in MIXTURE_WEIGHTS.items()
+)
+
+
+@query(
+    "q_data_mixture",
+    oracle=f"""
+    WITH hx AS (
+      SELECT lang,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) AS hx
+      FROM documents
+    ),
+    counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+    w(lang, w) AS (VALUES {_SQL_MIX_WEIGHTS}),
+    cap AS (SELECT MIN(n_total / w) AS cap FROM counts JOIN w USING (lang)),
+    rates AS (
+      SELECT lang, LEAST(CAST(1.0 AS DOUBLE), w * cap / n_total) AS rate
+      FROM counts JOIN w USING (lang) CROSS JOIN cap
+    )
+    SELECT h.lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN h.hx < r.rate * 65536.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           ROUND(ANY_VALUE(r.rate), 6) AS target_rate
+    FROM hx h JOIN rates r ON h.lang = r.lang
+    GROUP BY h.lang
+    """,
+)
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling: given target language proportions,
+    compute per-language acceptance rates that realize the mixture at
+    the largest corpus size possible WITHOUT upsampling (capacity =
+    min over languages of n_l / w_l), then sample by content hash.
+
+    Two corpus passes, both single-shuffle aggregations: (1) per-lang
+    counts (5 rows), from which the rate table is derived driver-free
+    (tiny joins + one broadcast scalar); (2) the hash-membership count
+    join against the broadcast rate table. Same shape at 100 TB — the
+    mixture math never touches the corpus, and acceptance is a pure
+    per-row hash decision (reproducible across engines/reruns)."""
+    d = load_table(spark, sf_dir, "documents")
+    d2 = d.select(
+        "lang",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("double")
+        .alias("hx"),
+    )
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    w = spark.createDataFrame(
+        [(lang, wt) for lang, wt in MIXTURE_WEIGHTS.items()], "lang string, w double"
+    )
+    cw = counts.join(w, "lang")
+    cap = cw.agg(F.min(F.col("n_total") / F.col("w")).alias("cap"))
+    rates = cw.crossJoin(F.broadcast(cap)).select(
+        "lang",
+        F.least(F.lit(1.0), F.col("w") * F.col("cap") / F.col("n_total")).alias("rate"),
+    )
+    return (
+        d2.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("hx") < F.col("rate") * 65536.0, 1).otherwise(0)).alias(
+                "n_sampled"
+            ),
+            F.round(F.first("rate"), 6).alias("target_rate"),
+        )
+    )
+
+
+LENGTH_BUCKET = 16
+
+
+@query(
+    "q_length_histogram",
+    oracle=f"""
+    SELECT CAST((len({_SQL_TOKENS}) // {LENGTH_BUCKET}) * {LENGTH_BUCKET} AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in fixed {LENGTH_BUCKET}-token buckets
+    — the batch-shape planning statistic (how many docs fit which
+    context windows, where padding waste concentrates). One row-local
+    tokenize + one aggregation; partial aggregation makes the shuffle
+    carry only bucket counts at any scale."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = d.select(F.size(tokens("text")).cast("long").alias("n"))
+    return (
+        t.groupBy(F.expr(f"(n div {LENGTH_BUCKET}) * {LENGTH_BUCKET}").alias("bucket_lo"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("total_tokens"))
+    )
+
+
 PACK_BUDGET = 2048
 
 

@@ -325,3 +325,55 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= IVF_TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CASE WHEN scale = 0 THEN md5('')
+                ELSE md5(array_to_string(
+                       list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INTEGER)), ','))
+           END AS qfp,
+           CAST(len(e) AS INT) AS n_dims
+    FROM (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+    )
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step before shipping vectors to an ANN index (4x
+    smaller than float32, 8x than the double intermediates). Per
+    vector: scale = max|x| / 127, q_i = floor(x_i/scale + 0.5)
+    (floor(x+0.5) rather than round() so both engines use the same
+    half-up rule). Entirely row-local — runs at scan speed at any
+    scale; the md5 fingerprint of the quantized ints proves bit parity
+    across engines cell-by-cell.
+
+    The reference has no vector ops at all (its values are untyped
+    strings, /root/reference/src/common/common.go); extension scope.
+    """
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # scale bound via single-element-array lambda so array_max runs
+    # once per row, not once per element (see plans/dedup.py on
+    # CollapseProject inlining).
+    qfp = (
+        "element_at(transform(array(array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0D), "
+        "s -> case when s = 0D then md5('') else md5(array_join("
+        "transform(embedding, x -> cast(cast(floor(cast(x as double) / s + 0.5D) as int) as string)), ',')) end), 1)"
+    )
+    scale = "array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0D"
+    return e.select(
+        "vec_id",
+        F.round(F.expr(scale), 6).alias("scale"),
+        F.expr(qfp).alias("qfp"),
+        F.size("embedding").alias("n_dims"),
+    )

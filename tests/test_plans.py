@@ -162,3 +162,33 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     for cid, ids in members.items():
         for i in ids:
             assert sizes[i] == len(ids)
+
+
+def test_new_curation_ops_no_python_udf(spark, sf_dir):
+    """Mixture, histogram, and quantization must stay JVM-side."""
+    for name in ("q_data_mixture", "q_length_histogram", "q_embedding_quantize"):
+        plan = _plan(catalog.QUERIES[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
+
+
+def test_dedup_apply_partition_invariants(spark, sf_dir):
+    """Survivors = representatives + unpaired docs; no cluster loses
+    its representative and no component contributes more than one."""
+    comp = catalog.QUERIES["q_dedup_clusters"](spark, sf_dir).collect()
+    kept = {r.doc_id for r in catalog.QUERIES["q_dedup_apply"](spark, sf_dir).collect()}
+    reps = {r.component_id for r in comp}
+    losers = {r.doc_id for r in comp if r.doc_id != r.component_id}
+    assert reps <= kept
+    assert not (losers & kept)
+
+
+def test_data_mixture_rates(spark, sf_dir):
+    """Sampling never upsamples and realized counts track the rate."""
+    rows = catalog.QUERIES["q_data_mixture"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0 < r.target_rate <= 1.0
+        assert r.n_sampled <= r.n_total
+        # hash acceptance is binomial(n_total, rate); 5 sigma slack
+        import math
+        sigma = math.sqrt(r.n_total * r.target_rate * (1 - r.target_rate))
+        assert abs(r.n_sampled - r.n_total * r.target_rate) <= 5 * sigma + 1
