@@ -43,22 +43,24 @@ def _sq_l2(a: F.Column, b: F.Column) -> F.Column:
 def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (squared-L2, ties to
     the lowest cid). `vectors`: (vec_id, e); `centroids`: (cid, ce).
-    Returns (vec_id, e, cell, d2). One broadcast join + one min_by agg.
-    """
-    scored = vectors.join(F.broadcast(centroids)).select(
-        "vec_id",
-        "e",
-        "cid",
-        F.round(_sq_l2(F.col("e"), F.col("ce")), 8).alias("d2"),
-    )
-    # min_by over struct(d2, cid) -> deterministic argmin in ONE pass
-    # (a row_number window would shuffle on vec_id and sort).
-    best = scored.groupBy("vec_id").agg(
-        F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("b"),
-        F.first("e").alias("e"),
-    )
-    return best.select(
-        "vec_id", "e", F.col("b.cid").alias("cell"), F.col("b.d2").alias("d2")
+    Returns (vec_id, e, cell, d2).
+
+    ZERO corpus shuffle: the centroid table collapses to one broadcast
+    array row and every vector argmins over it row-locally (array_sort
+    on (d2, cid) structs = the deterministic tie rule). The previous
+    shape — broadcast join + min_by groupBy — still shuffled the whole
+    corpus WITH its vector payloads once per Lloyd iteration; this is
+    a pure map pass, so an iteration's only shuffle is the tiny
+    (cell, pos) partial-mean aggregation in update_centroids."""
+    cents = centroids.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+    d2 = "round(aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x), 8)"
+    best = f"element_at(array_sort(transform(cents, c -> struct({d2} as d2, c.cid as cid))), 1)"
+    return (
+        vectors.crossJoin(F.broadcast(cents))
+        .select("vec_id", "e", F.expr(best).alias("b"))
+        .select(
+            "vec_id", "e", F.col("b.cid").alias("cell"), F.col("b.d2").alias("d2")
+        )
     )
 
 

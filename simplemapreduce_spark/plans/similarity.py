@@ -235,32 +235,41 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     each query probes its N_PROBE nearest cells and searches exactly
     within them.
 
-    Scale shape: index build is a single broadcast cross-score over
-    the corpus (centroid table is tiny); the search join is an
-    equi-join on cell, so per-query work is ~N_PROBE/N_CENTROIDS of
-    the corpus — the same contract a real IVF index gives, with
-    k-means-trained centroids as the drop-in upgrade."""
+    Scale shape: cell assignment is ROW-LOCAL — the tiny centroid
+    table is collapsed to one broadcast array row and each vector
+    argmins over it in a map pass, so the corpus is never shuffled for
+    the index build (the naive crossJoin + row_number window would
+    shuffle every vector by vec_id — a full-corpus shuffle that the
+    oracle SQL still spells because DuckDB has no broadcast notion).
+    The search join is an equi-join on cell, so per-query work is
+    ~N_PROBE/N_CENTROIDS of the corpus — the same contract a real IVF
+    index gives, with k-means-trained centroids as the drop-in
+    upgrade. array_sort on (d, cid) structs reproduces the oracle's
+    ORDER BY d, cid tie-break exactly."""
     v = _vectors(spark, sf_dir)
     cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
-    l2 = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ),
-        4,
+    cents = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+    d_expr = (
+        "round(sqrt(aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)), 4)"
     )
-    dists = v.crossJoin(F.broadcast(cent)).select("vec_id", "e", "cid", l2.alias("d"))
-    w_assign = W.partitionBy("vec_id").orderBy(F.col("d"), F.col("cid"))
-    ranked = dists.withColumn("rk", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("rk") == 1).select("vec_id", "e", F.col("cid").alias("cell"))
+    cells_sorted = f"array_sort(transform(cents, c -> struct({d_expr} as d, c.cid as cid)))"
+    assign = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", "e", F.expr(f"element_at({cells_sorted}, 1).cid").alias("cell"))
+    )
     probes = (
-        ranked.filter((F.col("rk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES))
-        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("cid").alias("cell"))
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(
+                F.expr(f"transform(slice({cells_sorted}, 1, {N_PROBE}), p -> p.cid)")
+            ).alias("cell"),
+        )
     )
     scored = (
         assign.join(F.broadcast(probes), ["cell"])
