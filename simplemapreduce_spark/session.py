@@ -144,3 +144,58 @@ def gc_scratch(max_age_hours: float = 24.0) -> int:
         except OSError:
             continue  # raced with a concurrent writer; leave it
     return removed
+
+
+def task_stats(spark: SparkSession) -> dict:
+    """Task-execution statistics for this session — the Spark-side
+    equivalent of the reference's per-worker shutdown report
+    (/root/reference/src/mapreduce/master.go:152-167 collects
+    tasks-per-worker; worker.go:95-102 counts them). Spark tracks the
+    same facts in its status tracker; this surfaces them as one dict:
+
+      jobs / stages               completed counts this session
+      tasks_completed/_failed     across all retained stages
+      executors                   per-executor (host, running tasks) —
+                                  one entry in local mode, one per
+                                  worker JVM on a cluster
+
+    Task retry visibility: a task that failed and was retried by the
+    scheduler (spark.task.maxFailures) shows up in tasks_failed while
+    the job still succeeds — the at-least-once contract the reference
+    implements with its forever-retry RPC loop (common_rpc.go:114-129).
+    """
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    job_ids = tracker.getJobIdsForGroup(None)
+    stages_seen: set[int] = set()
+    completed_jobs = 0
+    for jid in job_ids:
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        if info.status == "SUCCEEDED":
+            completed_jobs += 1
+        stages_seen.update(info.stageIds)
+    tasks_completed = tasks_failed = stages_completed = 0
+    for sid in stages_seen:
+        sinfo = tracker.getStageInfo(sid)
+        if sinfo is None:
+            continue
+        tasks_completed += sinfo.numCompletedTasks
+        tasks_failed += sinfo.numFailedTasks
+        if sinfo.numTasks and sinfo.numCompletedTasks >= sinfo.numTasks:
+            stages_completed += 1
+    executors = []
+    try:  # JVM-only API; shape is stable but guard anyway
+        for e in sc._jsc.sc().statusTracker().getExecutorInfos():
+            executors.append({"host": e.host(), "running_tasks": e.numRunningTasks()})
+    except Exception:
+        pass
+    return {
+        "jobs": completed_jobs,
+        "stages": stages_completed,
+        "tasks_completed": tasks_completed,
+        "tasks_failed": tasks_failed,
+        "executors": executors,
+        "parallelism": sc.defaultParallelism,
+    }

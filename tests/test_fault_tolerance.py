@@ -85,3 +85,20 @@ def test_job_fails_when_retries_exhausted():
     )
     assert proc.returncode != 0
     assert "injected worker failure" in (proc.stderr + proc.stdout)
+
+
+def test_task_stats_surface(spark, sf_dir):
+    """task_stats mirrors the reference's shutdown report: after a job
+    runs, completed jobs/tasks are visible and nothing has failed."""
+    from simplemapreduce_spark.session import task_stats
+
+    from simplemapreduce_spark import catalog
+
+    catalog.load_all()
+    catalog.QUERIES["q_topk"](spark, sf_dir).collect()
+    stats = task_stats(spark)
+    assert stats["jobs"] >= 1
+    assert stats["tasks_completed"] >= 1
+    assert stats["tasks_failed"] == 0
+    assert stats["parallelism"] >= 1
+    assert isinstance(stats["executors"], list)
