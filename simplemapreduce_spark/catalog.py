@@ -110,6 +110,7 @@ def load_all() -> None:
     # Imports are side-effectful by design (decorator registration).
     from simplemapreduce_spark.operators import ml_lsh, skew  # noqa: F401
     from simplemapreduce_spark.plans import (  # noqa: F401
+        bucketing,
         curation,
         decontam,
         subqueries,

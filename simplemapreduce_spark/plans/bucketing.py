@@ -1,0 +1,89 @@
+"""Bucketed-table co-located join — the layout strategy that removes
+the shuffle from repeated big-big joins at 100 TB.
+
+The reference's only co-location mechanism is its FNV hash partition
+of intermediate files (/root/reference/src/common/common.go:61-66,
+common_map.go:72-77): every job re-partitions from scratch. Spark's
+persistent bucketing does that partitioning ONCE at write time and
+every subsequent join/aggregation on the bucket key reads the layout
+instead of shuffling — the difference between an O(data) exchange per
+query and zero.
+
+Shape proven here (and asserted in tests/test_plans.py):
+  write orders + lineitem bucketed by order key into 8 buckets
+  -> SortMergeJoin with NO Exchange on either side (bucketed scans
+     satisfy the join's distribution requirement)
+  -> the follow-up groupBy on the same key also runs exchange-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.plans.relational_ext import _scratch_dir
+from simplemapreduce_spark.sources.tables import load_table
+
+N_BUCKETS = 8
+
+
+def _bucketed_table(
+    spark: SparkSession, sf_dir: str, table: str, key: str, cols: list[str]
+) -> DataFrame:
+    """Write `table` bucketed+sorted by `key` (idempotent per sf tag)
+    and return it via the catalog so scans carry bucket metadata."""
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"smr_bucketed_{table}_{sf_tag}"
+    path = _scratch_dir(f"bucketed_{table}", sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        load_table(spark, sf_dir, table)
+        .select(*cols)
+        .write.bucketBy(N_BUCKETS, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT l.l_orderkey,
+           ANY_VALUE(o.o_orderpriority) AS o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free big-big join via persistent bucketing: both sides
+    written bucketed by the order key, then joined (merge hint keeps
+    Catalyst from broadcasting the locally-small side — at 100 TB
+    neither side broadcasts) and aggregated on the same key. The whole
+    pipeline runs without a single Exchange: bucketed scans already
+    satisfy the join's and the aggregation's distribution requirement,
+    and the sortBy metadata satisfies the merge join's ordering
+    requirement. This is the layout investment a recurring 100 TB join
+    amortizes across every downstream query."""
+    bo = _bucketed_table(
+        spark, sf_dir, "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]
+    )
+    bl = _bucketed_table(
+        spark, sf_dir, "lineitem", "l_orderkey", ["l_orderkey", "l_quantity"]
+    )
+    return (
+        bl.join(bo.hint("merge"), bl["l_orderkey"] == bo["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.first("o_orderpriority").alias("o_orderpriority"),
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").cast("double").alias("total_qty"),
+        )
+    )

@@ -192,3 +192,12 @@ def test_data_mixture_rates(spark, sf_dir):
         import math
         sigma = math.sqrt(r.n_total * r.target_rate * (1 - r.target_rate))
         assert abs(r.n_sampled - r.n_total * r.target_rate) <= 5 * sigma + 1
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Both sides bucketed by the join key: the merge join AND the
+    follow-up groupBy on that key must run without any Exchange."""
+    df = catalog.QUERIES["q_join_bucketed"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
