@@ -107,3 +107,43 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
     )
+
+
+SHUFFLE_SEED = "epoch0"
+SHUFFLE_HEAD = 20
+
+
+@query(
+    "q_shuffle_deterministic",
+    oracle=f"""
+    SELECT doc_id, shuffle_key, rank FROM (
+      SELECT doc_id,
+             md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             ROW_NUMBER() OVER (ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))) AS rank
+      FROM documents
+    ) WHERE rank <= {SHUFFLE_HEAD}
+    """,
+)
+def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: order the corpus by
+    md5(seed || doc_id) — a new seed is a new epoch permutation, and
+    the order is identical across engines, reruns, and partitionings
+    (seeded-RNG shuffles are not). The head-k probe compiles to
+    TakeOrderedAndProject: per-partition top-k heaps, no global sort
+    materialization. The full-epoch variant is the same expression via
+    orderBy (range-partitioned total sort) or repartitionByRange on
+    the key when only per-shard order matters."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window as W
+
+    head = (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(SHUFFLE_HEAD)
+    )
+    return head.select(
+        "doc_id",
+        "shuffle_key",
+        F.row_number().over(W.orderBy("shuffle_key")).alias("rank"),
+    )

@@ -201,3 +201,10 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     plan = _plan(df)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_shuffle_deterministic_is_topk(spark, sf_dir):
+    """The epoch-shuffle head must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global sort materialization."""
+    plan = _plan(catalog.QUERIES["q_shuffle_deterministic"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
