@@ -47,9 +47,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (incl. per-group), set ops, scalar function groups, window frames,
 # sources (csv/json/orc/whole-file text) and partitioned sinks,
 # streaming (windowed + custom stateful), time series (as-of join,
-# downsample), sketches, dedup, similarity, text analysis, multimodal,
-# the mapF/reduceF compat surface, deterministic sampling, and the
-# TPC-H extended suite. Remaining queries keep their import order.
+# downsample), sketches, dedup (incl. connected-components clusters),
+# similarity, text analysis, multimodal, the mapF/reduceF compat
+# surface, deterministic sampling, bucketed co-located joins,
+# decontamination, and data-mixture resampling. Set-op and
+# source-roundtrip siblings of in-window representatives follow at
+# position 51+ with the rest in import order.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -73,8 +76,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sort_multi",
     "q_topk_per_group",
     "q_set_union",
-    "q_set_intersect",
-    "q_set_except",
+    "q_join_bucketed",
+    "q_dedup_clusters",
     "q_scalar_string",
     "q_scalar_date",
     "q_scalar_math",
@@ -83,8 +86,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_running_sum",
     "q_window_range_frame",
     "q_source_csv_roundtrip",
-    "q_source_json_roundtrip",
-    "q_source_orc_roundtrip",
+    "q_decontaminate_ngram",
+    "q_data_mixture",
     "q_sink_partitioned_parquet",
     "q_source_text_whole_files",
     "q_stream_tumbling",
