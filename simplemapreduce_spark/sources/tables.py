@@ -50,9 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Engine defaults that must hold in ANY session (the driver builds
+    # its own, without our factory) — both confs are runtime-settable.
+    # Constraint inference rewrites IsNotNull(derived) through
+    # projections into the full defining expression below the exchange;
+    # for higher-order-function pipelines (shingling, minhash) that
+    # re-evaluates the whole pipeline inside the scan filter (observed
+    # 8x slowdown; see session.py).
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     if name == "events":
-        # Must hold in ANY session (the driver builds its own, without
-        # our factory defaults) — the conf is runtime-settable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
