@@ -337,3 +337,65 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         ((running - F.col("n_tokens")) / PACK_BUDGET).cast("long").alias("pack_id"),
     )
+
+
+_URL_RE = r"https?://[A-Za-z0-9.-]+/[A-Za-z0-9]*"
+
+
+@query(
+    "q_text_url_extract",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             'see https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/page'
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example/x'
+                       ELSE '' END || ' ' || text AS raw
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(raw, '{_URL_RE}')) AS url FROM enriched
+    )
+    SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)/', 1) AS domain,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM urls
+    GROUP BY 1
+    """,
+)
+def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain aggregation — the link-analysis
+    step behind domain filtering and link-density quality rules. The
+    fixture corpus has no URLs, so each document deterministically
+    injects 1-2 before extraction (same proof strategy as
+    q_text_pii_redact: both engines build and parse identical strings,
+    so the regex machinery is verified end-to-end). Row-local
+    extract + one partial-agg shuffle carrying only (domain, counts)
+    at any scale; the pattern is Java-and-RE2 compatible."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    raw = F.concat(
+        F.lit("see https://site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example/page"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" and http://cdn"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example/x"),
+            ),
+        ).otherwise(""),
+        F.lit(" "),
+        F.col("text"),
+    )
+    urls = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(raw.alias("raw"), F.lit(_URL_RE), 0)).alias("url"),
+    )
+    return (
+        urls.select("doc_id", F.regexp_extract("url", r"https?://([A-Za-z0-9.-]+)/", 1).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_urls"), F.countDistinct("doc_id").alias("n_docs"))
+    )
