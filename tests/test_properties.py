@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) — the randomized extension of the
+reference's fixed-fixture suite (SURVEY.md §5.3): instead of one
+hand-picked corpus, assert the engine's contracts over arbitrary
+generated inputs.
+
+Few examples per property (each example is a real Spark job); the
+value is the generator exploring corners a fixed fixture never hits
+(empty tokens, unicode, duplicate-heavy corpora, single-row inputs).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from simplemapreduce_spark.operators.map_reduce import map_reduce
+
+_token = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+_doc = st.lists(_token, min_size=0, max_size=30).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=20)
+
+_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(corpus=_corpus)
+@_SETTINGS
+def test_mr_word_count_matches_counter(spark, corpus):
+    """The mapF/reduceF contract (holistic reduce over ALL values of a
+    key) must agree with a plain in-memory Counter on any corpus —
+    common_test_suite.go's Check generalized from one fixture to all."""
+    df = spark.createDataFrame([(line,) for line in corpus], ["value"])
+
+    def map_f(row):
+        for tok in row["value"].split():
+            yield tok, "1"
+
+    def reduce_f(key, values):
+        return str(sum(int(v) for v in values))
+
+    out = {r["key"]: int(r["value"]) for r in map_reduce(df, map_f, reduce_f).collect()}
+    expected = Counter(tok for line in corpus for tok in line.split())
+    assert out == dict(expected)
+
+
+@given(corpus=_corpus, n_a=st.sampled_from([1, 4]), n_b=st.sampled_from([2, 8]))
+@_SETTINGS
+def test_mr_partition_count_invariance(spark, corpus, n_a, n_b):
+    """nReduce must never change results — the reference's topology
+    matrix (1/3/10 reduce tasks) as a universal property."""
+    df = spark.createDataFrame([(line,) for line in corpus], ["value"])
+
+    def map_f(row):
+        for tok in row["value"].split():
+            yield tok, "1"
+
+    def reduce_f(key, values):
+        return str(len(list(values)))
+
+    a = sorted(map(tuple, map_reduce(df, map_f, reduce_f, n_partitions=n_a).collect()))
+    b = sorted(map(tuple, map_reduce(df, map_f, reduce_f, n_partitions=n_b).collect()))
+    assert a == b
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50))
+@_SETTINGS
+def test_hash_sample_membership_is_row_local(spark, ids):
+    """Deterministic hash sampling must be a pure function of the row:
+    membership identical regardless of partitioning (seeded-RNG
+    df.sample violates this; the engine's contract must not)."""
+    from pyspark.sql import functions as F
+
+    from simplemapreduce_spark.plans.sampling import hash_bucket
+
+    df1 = spark.createDataFrame([(i,) for i in ids], ["doc_id"]).repartition(1)
+    df8 = spark.createDataFrame([(i,) for i in ids], ["doc_id"]).repartition(8)
+    pick = lambda df: sorted(
+        r["doc_id"] for r in df.filter(hash_bucket(F.col("doc_id")) < "40").collect()
+    )
+    assert pick(df1) == pick(df8)
