@@ -126,11 +126,35 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("w.start").alias("window_start"), "n")
 
 
-@query("q_stream_session_window")  # rows-only: session merge order is engine-specific
+@query(
+    "q_stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming session windows (30-minute inactivity gap) per user —
-    state-store-merged sessions; the batch twin q_ts_session_window is
-    the oracle-checked equivalent."""
+    """Streaming session windows (30-minute inactivity gap) per user.
+    Complete-mode availableNow replay: the state store keeps merging
+    adjacent sessions as batches arrive, so the FINAL state is the
+    same fully-merged gaps-and-islands result the batch twin
+    (plans/timeseries.py q_ts_session_window) computes — which makes
+    the stateful merge itself oracle-checkable, not just rows-only."""
     agg = (
         stream_events(spark, sf_dir)
         .withWatermark("ts", "1 hour")
