@@ -37,7 +37,21 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "byte_len", "checksum")
 
 
-@query("q_multimodal_features")  # rows-only: feature extraction is a pandas UDF
+@query(
+    "q_multimodal_features",
+    # documents.text is pure ASCII (octet_length == length), so the
+    # first payload byte is the first character's codepoint; f0 =
+    # payload[(0*n)//dim] / 255 = byte 0 / 255 (operators/multimodal.py
+    # fake_features). The pandas-UDF plumbing is thus value-checked,
+    # not just rows-only.
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           ROUND(CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE ascii(substring(text, 1, 1)) / 255.0 END, 6) AS f0
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched (deterministic fake) feature extraction over the
     binary payload — the real decoder slot is stubbed (no imaging libs
@@ -150,7 +164,27 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media).withColumn("frame_hashes", F.array_join("frame_hashes", ","))
 
 
-@query("q_multimodal_resize")  # rows-only: python stride-slice is not SQL-expressible
+@query(
+    "q_multimodal_resize",
+    # Python's b[::stride][:64] over ASCII text, spelled in SQL:
+    # stride = max(1, n div 64), picked chars at i*stride for
+    # i < min(64, ceil(n/stride)), md5 of their concatenation.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, GREATEST(1, length(text) // 64) AS stride FROM documents
+    ), c AS (
+      SELECT doc_id, text, stride,
+             LEAST(64, (length(text) + stride - 1) // stride) AS cnt
+      FROM p
+    )
+    SELECT doc_id AS media_id,
+           8 AS out_w, 8 AS out_h,
+           CAST(cnt AS BIGINT) AS resized_len,
+           md5(array_to_string(list_transform(range(cnt),
+               i -> substring(text, CAST(i * stride + 1 AS BIGINT), 1)), '')) AS resized_checksum
+    FROM c
+    """,
+)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake resize (stride downsample to 8x8 bytes) through the real
     Arrow plumbing; the decoder+resampler slot in unchanged."""
