@@ -337,3 +337,46 @@ def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
     )
     return med.join(mode, "o_orderstatus")
+
+
+@query(
+    "q_scalar_variant",
+    # The VARIANT round-trip is lossless for these types, so the oracle
+    # is the identity projection — the Spark side is what exercises the
+    # semi-structured machinery (same proof strategy as the injected
+    # PII/URL queries: both engines must land on identical values).
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           o_custkey AS second_party
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): encode each order row as
+    JSON, parse_json into a VARIANT, extract typed fields back with
+    variant_get path expressions (object keys + array index). VARIANT
+    keeps the binary-encoded open schema a real ingest pipeline gets
+    from heterogeneous JSON, while predicate pushdown on the typed
+    outer column (the modulo filter) still prunes the scan. The
+    reference's untyped string values (common.go KeyValue) are the
+    degenerate ancestor of exactly this capability."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.array("o_orderkey", "o_custkey").alias("parties"),
+            )
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        F.variant_get(v.alias("v"), "$.o_orderstatus", "string").alias("status"),
+        F.variant_get(v.alias("v"), "$.o_totalprice", "double").alias("price"),
+        F.variant_get(v.alias("v"), "$.parties[1]", "bigint").alias("second_party"),
+    )
