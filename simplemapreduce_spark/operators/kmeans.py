@@ -80,21 +80,60 @@ def update_centroids(assigned: DataFrame, round_digits: int = 6) -> DataFrame:
     )
 
 
-def kmeans_fit(vectors: DataFrame, k: int, iters: int = 3) -> DataFrame:
+def farthest_first_init(vectors: DataFrame, k: int) -> DataFrame:
+    """Deterministic k-means++-style seeding by farthest-first
+    traversal (Gonzalez 1985): start from the lowest vec_id, then
+    repeatedly add the vector FARTHEST from its nearest chosen
+    centroid (ties → lowest vec_id). Spreads seeds across the data's
+    extent — the quality upgrade over first-k init — while staying
+    RNG-free, so training is reproducible across runs and engines.
+
+    Oversampled k-means|| style (Bahmani et al., VLDB 2012): each pass
+    takes the m=4 farthest vectors at once (TakeOrdered on (d2 desc,
+    vec_id)) instead of one, cutting the sequential passes to
+    ceil((k-1)/m) — the deterministic analogue of k-means||'s
+    probabilistic oversampling. O(N) row-local work per pass, only k
+    rows ever reach the driver."""
+    spark = vectors.sparkSession
+    m = 4
+    first = (
+        vectors.orderBy("vec_id").limit(1)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    rows = [(r["cid"], r["ce"]) for r in first.collect()]
+    while len(rows) < k:
+        cent = spark.createDataFrame(rows, schema="cid bigint, ce array<double>")
+        a = assign_cells(vectors, cent)
+        batch = (
+            a.orderBy(F.desc("d2"), "vec_id")
+            .limit(min(m, k - len(rows)))
+            .select("vec_id", "e")
+            .collect()
+        )
+        rows.extend((r["vec_id"], r["e"]) for r in batch)
+    return spark.createDataFrame(rows, schema="cid bigint, ce array<double>")
+
+
+def kmeans_fit(
+    vectors: DataFrame, k: int, iters: int = 3, init: str = "farthest"
+) -> DataFrame:
     """Train k centroids with `iters` Lloyd iterations. Returns
-    (cid, ce). Init = the k lowest vec_ids (deterministic; k-means++
-    would be the quality upgrade, same plumbing).
+    (cid, ce). init='farthest' (default) seeds by deterministic
+    farthest-first traversal; init='first' takes the k lowest vec_ids.
 
     The centroid table is materialized to the driver between
     iterations (k×dim doubles — bytes, not data) so each iteration's
     plan starts from a literal table instead of a k-deep recursive
     subtree that every later broadcast would recompute.
     """
-    cent = (
-        vectors.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-    )
+    if init == "farthest":
+        cent = farthest_first_init(vectors, k)
+    else:
+        cent = (
+            vectors.orderBy("vec_id")
+            .limit(k)
+            .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        )
     spark = vectors.sparkSession
     for _ in range(iters):
         assigned = assign_cells(vectors, cent)
