@@ -118,3 +118,34 @@ def q_source_text_whole_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "q_source_text_lines",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(text) AS first_line
+    FROM documents
+    """,
+)
+def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source round-trip: documents.text written as
+    a plain text corpus, read back line-by-line with spark.read.text —
+    the splittable sibling of the whole-file contract (a 100 TB text
+    corpus scans in parallel by line blocks; whole-file reads cannot
+    split). Line count, byte mass, and min-line all survive the trip,
+    so the sink+source pair is value-checked against the original
+    table."""
+    from simplemapreduce_spark.sources.text import read_lines
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "smr_scratch", f"docs_lines_{sf_tag}")
+    docs.write.mode("overwrite").text(path)
+    lines = read_lines(spark, path)
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min("value").alias("first_line"),
+    )
