@@ -211,3 +211,36 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"), F.sum("o_orderkey").alias("key_sum")
     )
+
+
+@query(
+    "q_source_python_datasource",
+    oracle="""
+    SELECT shard,
+           COUNT(*) AS n_rows,
+           MIN(md5('doc-' || CAST(i AS VARCHAR))) AS min_tag
+    FROM (SELECT i, CAST((i * 8) // 1000 AS INT) AS shard FROM range(1000) t(i))
+    GROUP BY shard
+    """,
+)
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Python Data Source API (Spark 4):
+    a registered format with planned input partitions, read like any
+    built-in source and aggregated — the extension point for corpora
+    in systems Spark has no reader for (sources/pyds.py). The source
+    is deterministic (seq id, md5 content tag, shard = partition
+    index over contiguous ranges), so the whole partition-planning +
+    per-partition-iterator path is value-checked: the oracle recomputes
+    shard = (i*parts) div n from the same contiguous-range split."""
+    from simplemapreduce_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("shard").agg(
+        F.count("*").alias("n_rows"), F.min("content_tag").alias("min_tag")
+    )

@@ -208,3 +208,14 @@ def test_shuffle_deterministic_is_topk(spark, sf_dir):
     (per-partition heaps), never a global sort materialization."""
     plan = _plan(catalog.QUERIES["q_shuffle_deterministic"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_python_datasource_partition_planning(spark, sf_dir):
+    """The custom source must plan the requested number of input
+    partitions (parallel read), not collapse to one task."""
+    from simplemapreduce_spark.sources.pyds import register
+
+    register(spark)
+    df = spark.read.format("synthetic_docs").option("n", 100).option("partitions", 5).load()
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 100
