@@ -4,16 +4,16 @@ the centroid-training upgrade for the IVF index
 placeholder this replaces).
 
 Spark-first shape, per iteration:
-  1. assign: broadcast the k centroids, score every vector against all
-     k JVM-side (zip_with/aggregate fold), keep the argmin via a
-     single-pass ``min_by`` aggregate — no window, no shuffle of the
-     corpus beyond the one groupBy.
+  1. assign: collapse the k centroids to one broadcast array row and
+     argmin per vector ROW-LOCALLY (zip_with/aggregate fold +
+     array_sort tie rule) — a pure map pass, zero corpus shuffle.
   2. update: posexplode each assigned vector to (cell, pos, val),
-     groupBy (cell, pos) mean, re-assemble the centroid array ordered
-     by pos. Two narrow aggregations; all JVM-side.
+     groupBy (cell, pos) mean (partial-agg collapses the shuffle to
+     k×dim partials per task), re-assemble the centroid array ordered
+     by pos. All JVM-side.
 
-Everything is deterministic given the input order contract (init =
-k lowest ids); centroid coordinates are rounded each iteration so the
+Everything is deterministic and RNG-free (default init = farthest-
+first traversal, ties to lowest id); centroid coordinates are rounded each iteration so the
 float-sum partition-order jitter (~1e-13) can never flip a later
 assignment. k-means is iterative and therefore not oracle-expressible
 in one SQL statement — the catalog query is rows-only, with quality
@@ -23,7 +23,8 @@ tests/test_quality_bounds.py.
 Scale: the corpus is never self-joined and never collected; only the
 k×dim centroid table moves to the driver between iterations (tiny).
 Reference has no ANN surface; this extends SURVEY.md §2.2's
-similarity-search family.
+similarity-search family (the reference has no numeric/vector ops at
+all — values are untyped strings, /root/reference/src/common/common.go:44-49).
 """
 
 from __future__ import annotations

@@ -10,6 +10,10 @@ pure functions of row content (hashes, integer math), never RNG or
 partition order, so results are reproducible across engines, reruns,
 and repartitioning — the property that matters when the pipeline runs
 over 100 TB and must be auditable.
+
+Extension scope: the reference's only dataflow is mapF -> shuffle ->
+reduceF over opaque strings (/root/reference/src/common/common_map.go:59,
+common_reduce.go:51); none of these operators have a counterpart there.
 """
 
 from __future__ import annotations

@@ -3,6 +3,11 @@ pipeline operators (BASELINE.json north star): token statistics,
 quality scoring, language-ID heuristic, document fingerprinting,
 n-gram extraction, regex token counting.
 
+Extension scope: the reference has no text functions at all — its
+values are opaque strings and the only text handling is the test
+suite's whitespace split inside user mapF
+(/root/reference/src/mapreduce/common_test_suite.go:33-41).
+
 Everything is built-in column functions (JVM-side, codegen) — zero
 Python UDFs — so these run at full scan speed on a cluster. The
 tokenization contract matches functions/text.py (whitespace split,

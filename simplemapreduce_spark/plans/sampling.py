@@ -8,6 +8,10 @@ reproducible across engines (the DuckDB oracle computes the identical
 predicate). Spark's df.sample() is seeded-RNG per partition — fine for
 statistics, wrong for reproducible pipeline runs where membership must
 be stable under repartitioning, retries, and engine changes.
+
+Extension scope: the reference has no sampling/splitting surface —
+input selection is the fixed file list passed to Sequential/Distributed
+(/root/reference/src/mapreduce/master_sequential.go:6-14).
 """
 
 from __future__ import annotations
