@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.functions.time import epoch_micros
 from simplemapreduce_spark.sources.tables import load_table
 
 _GAP_MICROS = 30 * 60 * 1_000_000  # 30-minute session gap
@@ -137,7 +138,7 @@ def q_ts_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands formulation, identical plan on both engines)."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
+    micros = epoch_micros("ts")
     is_new = F.when(
         F.lag("ts").over(w).isNull()
         | ((micros - F.lag(micros).over(w)) > F.lit(_GAP_MICROS)),

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.functions.time import epoch_micros
 from simplemapreduce_spark.sources.tables import load_table
 
 
@@ -63,10 +64,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead over the event stream; time deltas in integer micros
-    (unix_micros ≡ DuckDB epoch_us — no float rounding)."""
+    (epoch_micros ≡ DuckDB epoch_us — no float rounding)."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
+    micros = epoch_micros("ts")
     return e.select(
         "user_id",
         "event_id",

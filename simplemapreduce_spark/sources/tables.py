@@ -43,10 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Declarative scan — filters/projections
     applied by callers reach the parquet reader via Catalyst pushdown.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the file; Spark reads it as a
-    nanosecond long (spark.sql.legacy.parquet.nanosAsLong) and we
-    convert to a microsecond timestamp here — same truncation DuckDB
-    applies reading the same file, so oracles agree.
+    ``events.ts`` is plain timestamp[us] parquet (no tz flag) — read
+    as TIMESTAMP_NTZ, exactly the naive TIMESTAMP DuckDB sees, so
+    rendered values agree on both engines regardless of session
+    timezone. (A TIMESTAMP(NANOS) fixture encoding — round 1 shipped
+    one — arrives as a nanosecond long via nanosAsLong and is
+    normalized to the same NTZ type below.)
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -62,7 +64,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        from simplemapreduce_spark.functions.time import micros_to_ntz
+
+        df = df.withColumn("ts", micros_to_ntz(F.expr("ts div 1000")))
     return df
 
 

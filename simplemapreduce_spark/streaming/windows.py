@@ -28,14 +28,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.functions.time import event_time_to_ntz, ntz_as_event_time
 
 # Streaming file sources require an explicit schema. events.ts is
-# TIMESTAMP(NANOS) in the files — read as nanosecond longs
-# (nanosAsLong) and convert, same contract as sources/tables.py.
+# plain timestamp[us] parquet (no tz flag) — TIMESTAMP_NTZ to Spark,
+# same type the batch loader (sources/tables.py) exposes, so batch
+# and stream plans share timestamp semantics.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -45,14 +47,20 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture replayed as a file stream (finite)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """The events fixture replayed as a file stream (finite).
+
+    ``ts`` is converted NTZ→LTZ through epoch arithmetic
+    (functions/time.py) because Structured Streaming only accepts
+    TIMESTAMP_LTZ event time; queries that *return* window bounds
+    convert back with :func:`event_time_to_ntz` so rendered values
+    match the naive timestamps DuckDB sees, on any session timezone.
+    """
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", ntz_as_event_time("ts"))
 
 
 def run_stream_to_table(df: DataFrame, output_mode: str) -> DataFrame:
@@ -97,7 +105,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(agg, "complete")
     return out.select(
-        F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        event_time_to_ntz(F.col("w.start")).alias("window_start"), "event_type", "n", "sum_value"
     )
 
 
@@ -123,7 +131,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     out = run_stream_to_table(agg, "complete")
-    return out.select(F.col("w.start").alias("window_start"), "n")
+    return out.select(event_time_to_ntz(F.col("w.start")).alias("window_start"), "n")
 
 
 @query(
@@ -163,7 +171,10 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(agg, "complete")
     return out.select(
-        "user_id", F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), "n_events"
+        "user_id",
+        event_time_to_ntz(F.col("w.start")).alias("session_start"),
+        event_time_to_ntz(F.col("w.end")).alias("session_end"),
+        "n_events",
     )
 
 

@@ -77,13 +77,15 @@ def test_stateful_counts_across_microbatches(spark, sf_dir, multi_file_events):
 def test_streaming_tumbling_matches_batch(spark, sf_dir, multi_file_events):
     """Windowed agg over a multi-batch stream (complete mode) equals
     the batch aggregation of the same data."""
+    from simplemapreduce_spark.functions.time import ntz_as_event_time
+    from simplemapreduce_spark.streaming.windows import run_stream_to_table
+
     stream = (
         spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(multi_file_events)
+        .withColumn("ts", ntz_as_event_time("ts"))
     )
-    from simplemapreduce_spark.streaming.windows import run_stream_to_table
-
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
