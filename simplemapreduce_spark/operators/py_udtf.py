@@ -1,0 +1,87 @@
+"""Python UDTF surface (Spark 4 user-defined table functions).
+
+The reference's ``mapF`` is exactly a UDTF: one input record → n
+output pairs (/root/reference/src/common/common_map.go:64,71). The
+engine's primary mapF equivalent is the Arrow ``mapInPandas`` compat
+operator (operators/map_reduce.py); this module exposes the same
+1→n contract through Spark 4's first-class ``@udtf`` API, which SQL
+users reach via LATERAL — the idiomatic replacement for writing a
+custom flatMap.
+
+The demo operator is imperative run-length encoding over a document's
+token stream (maximal spans of a consecutively repeated token) — a
+real curation signal (stutter/boilerplate repetition) whose loop is
+natural in Python yet still SQL-expressible (gaps-and-islands), so the
+whole UDTF path stays DuckDB-oracle-checkable.
+
+Scale notes: the UDTF runs once per document row, inside the scan
+stage (no shuffle added); ``useArrow=True`` batches rows through
+Arrow instead of pickling one row at a time. State never spans rows,
+so the operator parallelizes embarrassingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from simplemapreduce_spark.catalog import query
+
+
+@udtf(returnType="pos bigint, token string, run_len bigint", useArrow=True)
+class TokenRuns:
+    """Maximal runs of a consecutively repeated token; emits runs of
+    length >= 2 (1-runs are every other token — noise, not signal)."""
+
+    def eval(self, text: str):  # noqa: D102 — UDTF contract
+        if text is None:
+            return
+        toks = text.split()
+        i, n = 0, len(toks)
+        while i < n:
+            j = i
+            while j < n and toks[j] == toks[i]:
+                j += 1
+            if j - i >= 2:
+                yield i + 1, toks[i], j - i
+            i = j
+
+
+@query(
+    "q_udtf_token_runs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.token, t.pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+        FROM documents
+      ), LATERAL (SELECT unnest(ts) AS token, generate_subscripts(ts, 1) AS pos) t
+    ), isl AS (
+      SELECT doc_id, token, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, token ORDER BY pos) AS grp
+      FROM toks
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS pos, token,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM isl GROUP BY doc_id, token, grp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-token spans per document via a registered Python UDTF
+    reached through SQL LATERAL — the reference's mapF (1 record → n
+    pairs) as a Spark 4 table function. The oracle recomputes the runs
+    relationally (gaps-and-islands), proving the imperative Python and
+    the declarative SQL agree."""
+    from simplemapreduce_spark.session import ensure_package_shipped
+    from simplemapreduce_spark.sources.tables import load_table, table_path
+
+    ensure_package_shipped(spark)
+    spark.udtf.register("token_runs", TokenRuns)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("smr_docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token, t.run_len "
+        "FROM smr_docs_udtf d, LATERAL token_runs(d.text) t"
+    )

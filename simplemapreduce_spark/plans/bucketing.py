@@ -87,3 +87,70 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").cast("double").alias("total_qty"),
         )
     )
+
+
+_RANGE_MICROS = 72 * 3600 * 1_000_000  # 72-hour lookback window
+
+
+@query(
+    "q_join_range_binned",
+    oracle="""
+    SELECT e.event_id, COUNT(*) AS n_orders,
+           MAX(o.o_totalprice) AS max_order_price
+    FROM events e
+    JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate <= e.ts
+     AND o.o_orderdate >= e.ts - INTERVAL 72 HOURS
+    GROUP BY e.event_id
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join rewritten as a binned equi-join — the formulation
+    that scales where a raw theta join cannot.
+
+    Semantics: each event counts the same customer's orders in the 72
+    hours before it. A plain `BETWEEN` join is a broadcast-nested-loop
+    (or, keyed on customer alone, a per-customer cross product that
+    blows up on hot customers). Binning quantizes time into
+    window-width buckets: an order at bucket b can only satisfy events
+    in buckets {b, b+1}, so replicating the ORDER side 2x and
+    equi-joining on (customer, bucket) bounds the candidate set, then
+    the exact predicate filters — a hash join with a 2x replication
+    factor instead of an unbounded theta join. Each (event, order)
+    pair meets exactly once because the event's bucket is unique and
+    the two order replicas carry distinct bucket keys, so no dedup
+    pass is needed. This is the standard interval-join binning used by
+    stream processors for time-bounded joins.
+
+    No reference equivalent (no join operator exists in
+    /root/reference; SURVEY.md §2.2 Joins)."""
+    from simplemapreduce_spark.functions.time import epoch_micros
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("custkey"),
+        epoch_micros("ts").alias("eu"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        epoch_micros("o_orderdate").alias("ou"),
+        "o_totalprice",
+    )
+    e_binned = e.withColumn("bin", (F.col("eu") / _RANGE_MICROS).cast("bigint"))
+    o_binned = o.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                (F.col("ou") / _RANGE_MICROS).cast("bigint"),
+                (F.col("ou") / _RANGE_MICROS).cast("bigint") + 1,
+            )
+        ),
+    )
+    joined = e_binned.join(o_binned, ["custkey", "bin"]).filter(
+        (F.col("ou") <= F.col("eu")) & (F.col("ou") >= F.col("eu") - _RANGE_MICROS)
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("*").alias("n_orders"),
+        F.max("o_totalprice").alias("max_order_price"),
+    )

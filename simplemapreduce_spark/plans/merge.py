@@ -1,0 +1,104 @@
+"""MERGE / upsert (CDC apply) as a full-outer join — the table-format-
+free formulation of ``MERGE INTO``.
+
+The reference has no update semantics at all (its output is an
+immutable run directory, /root/reference/src/mapreduce/master.go:
+118-127); this is extension scope (SURVEY.md §2.2 Sinks/Joins). A
+lakehouse MERGE (Delta/Iceberg) is exactly this plan plus transaction
+log bookkeeping: shuffle both sides on the merge key, full-outer join,
+per-row branch into matched-update / not-matched-insert, write back.
+
+Scale notes: one shuffle per side on the merge key (the minimum for
+any keyed merge), no broadcast assumption (a CDC batch can be large),
+AQE handles skewed keys. The plan is the same shape Delta's MERGE
+physical plan lowers to on the matched path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.sources.tables import load_table
+
+_CUTOFF = "1994-06-01"
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, on: str, update_cols: dict[str, F.Column]
+) -> DataFrame:
+    """Apply ``updates`` onto ``base`` keyed by ``on``: matched rows
+    get ``update_cols`` expressions (which may reference both sides),
+    unmatched update rows are inserted, unmatched base rows pass
+    through — WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT.
+    """
+    b = base.alias("b")
+    u = updates.alias("u")
+    joined = b.join(u, F.col(f"b.{on}") == F.col(f"u.{on}"), "full_outer")
+    key = F.coalesce(F.col(f"b.{on}"), F.col(f"u.{on}")).alias(on)
+    outs = [key]
+    for name, expr in update_cols.items():
+        outs.append(expr.alias(name))
+    return joined.select(*outs)
+
+
+@query(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+      GROUP BY o_custkey
+    ), updates AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(b.custkey, u.custkey) AS custkey,
+           COALESCE(b.n_orders, 0) + COALESCE(u.n_orders, 0) AS n_orders,
+           CAST(CAST(COALESCE(b.spend, 0) AS DECIMAL(18,2))
+                + CAST(COALESCE(u.spend, 0) AS DECIMAL(18,2)) AS DOUBLE) AS spend
+    FROM base b FULL OUTER JOIN updates u ON u.custkey = b.custkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a CDC batch (per-customer order stats after a cutoff
+    date) into the base snapshot (stats before it): matched customers
+    accumulate counts and spend, customers first seen in the batch are
+    inserted, untouched base rows survive. The result equals the
+    all-time aggregate — which is what makes an incremental merge
+    pipeline equivalent to recomputation, the property this query
+    pins. Decimal-cents addition on both engines avoids float
+    accumulation drift; final cast to DOUBLE for driver rendering."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def snapshot(pred) -> DataFrame:
+        return (
+            o.filter(pred)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec"),
+            )
+        )
+
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    base = snapshot(F.col("o_orderdate") < cutoff)
+    updates = snapshot(F.col("o_orderdate") >= cutoff)
+    zero = F.lit(0).cast("decimal(18,2)")
+    merged = merge_upsert(
+        base,
+        updates,
+        on="custkey",
+        update_cols={
+            "n_orders": F.coalesce(F.col("b.n_orders"), F.lit(0))
+            + F.coalesce(F.col("u.n_orders"), F.lit(0)),
+            "spend": (
+                F.coalesce(F.col("b.spend_dec"), zero) + F.coalesce(F.col("u.spend_dec"), zero)
+            ).cast("double"),
+        },
+    )
+    return merged

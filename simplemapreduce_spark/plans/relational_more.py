@@ -244,3 +244,62 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("shard").agg(
         F.count("*").alias("n_rows"), F.min("content_tag").alias("min_tag")
     )
+
+
+@query(
+    "q_agg_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS top_orderkey,
+           arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS bottom_orderkey,
+           MAX(o_totalprice) AS top_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by / min_by): per priority class,
+    which order carries the highest / lowest total price. The ordering
+    value folds the 2-decimal price into integer cents and appends the
+    orderkey as tie-break, so the winner is deterministic — max_by on
+    a raw double with duplicated values would be engine-dependent.
+    Single partial+final hash aggregation, no join, no window — the
+    cheapest argmax formulation (a row_number window would sort).
+    The reference can express argmax only as a user-space holistic
+    reduceF over all values of a key (common_reduce.go:78-87)."""
+    o = load_table(spark, sf_dir, "orders")
+    rank = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10_000_000_000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", rank).alias("top_orderkey"),
+        F.min_by("o_orderkey", rank).alias("bottom_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS corr_qty_price,
+           CAST(round(stddev_samp(l_quantity), 4) AS DOUBLE) AS stddev_qty,
+           CAST(round(var_samp(l_quantity), 4) AS DOUBLE) AS var_qty,
+           CAST(round(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / stddev / variance / covariance)
+    per return flag — single-pass partial+final moment accumulation
+    (Catalyst's ImperativeAggregate), no second scan. Outputs rounded
+    to fixed decimals on both engines: the moments are order-dependent
+    in the last few ulps under parallel accumulation, so the contract
+    is the rounded value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )

@@ -91,3 +91,99 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value_cents")
     )
+
+
+_TWS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("total_value_cents", T.LongType(), True),
+    ]
+)
+
+
+def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — the
+    Spark 4 arbitrary-stateful API (typed state handles on a RocksDB
+    state store) succeeding applyInPandasWithState. Same contract as
+    q_stream_stateful_counts; over the finite replay the last emission
+    per user equals the batch aggregate
+    (``SELECT user_id, COUNT(*), SUM(cents) FROM events GROUP BY 1``).
+
+    NOT registered in the catalog: the TWS state-server protocol
+    requires ``google.protobuf``, which this container does not ship
+    (and installs are off-limits), so the operator cannot execute
+    here. The implementation is complete and the contract is pinned by
+    ``tests/test_streaming_incremental.py::test_tws_running_totals``,
+    which runs wherever protobuf exists and skips cleanly otherwise —
+    the applyInPandasWithState twin above carries the oracled gate in
+    this environment.
+
+    Scale design: ValueState per key in RocksDB — state is spillable
+    and checkpointed incrementally (changelog), the configuration that
+    holds for billions of keys where the default HDFS-backed store
+    (full-snapshot, heap-resident) cannot."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from simplemapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    # transformWithState requires the RocksDB provider (runtime-settable).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType(), True), T.StructField("cents", T.LongType(), True)]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    v = pdf["value"].to_numpy()
+                    # half-away-from-zero cents, same convention as the
+                    # applyInPandasWithState twin and the oracle's
+                    # CAST(.. AS DECIMAL(18,2)).
+                    cents += int(
+                        np.floor(np.abs(v) * 100 + 0.5).astype("int64")
+                        @ np.sign(v).astype("int64")
+                    )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    updates = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=_TWS_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    out = run_stream_to_table(updates, "append")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value_cents")
+    )

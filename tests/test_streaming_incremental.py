@@ -101,3 +101,30 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, multi_file_events):
         .select(F.col("w.start").alias("ws"), "event_type", "n")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_tws_running_totals(spark, sf_dir):
+    """transformWithStateInPandas twin of the stateful-counts operator:
+    final emission per user equals the batch aggregate. Requires the
+    TWS state-server protocol dependency (google.protobuf), absent in
+    some environments — skip, not fail, there."""
+    pytest.importorskip("google.protobuf")
+    from simplemapreduce_spark.streaming.stateful import tws_running_totals
+
+    got = {
+        (r.user_id, r.n_events, r.total_value_cents)
+        for r in tws_running_totals(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.n_events, r.total_value_cents)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("total_value_cents"),
+        )
+        .collect()
+    }
+    assert got == want
