@@ -111,7 +111,7 @@ def load_all() -> None:
     """Import every plan module so its queries register, then move the
     DRIVER_PRIORITY queries to the front of the registration order."""
     # Imports are side-effectful by design (decorator registration).
-    from simplemapreduce_spark.operators import ml_lsh, py_udtf, skew  # noqa: F401
+    from simplemapreduce_spark.operators import cogroup, ml_lsh, py_udtf, skew  # noqa: F401
     from simplemapreduce_spark.plans import (  # noqa: F401
         bucketing,
         curation,

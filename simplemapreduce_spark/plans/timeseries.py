@@ -292,3 +292,54 @@ def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(daily, "day", "left")
         .select("day", F.coalesce("n", F.lit(0)).alias("n_purchases"))
     )
+
+
+@query(
+    "q_ts_asof_forward",
+    oracle="""
+    WITH merged AS (
+      SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS okey, 0 AS kind FROM events
+      UNION ALL
+      SELECT o_custkey AS user_id, o_orderdate AS ts, CAST(NULL AS BIGINT) AS event_id,
+             o_orderkey AS okey, 1 AS kind
+      FROM orders
+    ), filled AS (
+      SELECT *, FIRST_VALUE(okey IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, kind, COALESCE(okey, 0), COALESCE(event_id, 0)
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_orderkey
+      FROM merged
+    )
+    SELECT event_id, user_id, ts, next_orderkey
+    FROM filled WHERE kind = 0
+    """,
+)
+def q_ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event gets the customer's NEXT order at
+    or after the event time — the mirror of q_ts_asof_join's backward
+    lookup, same union-merge shape (one shuffle + one sort, no
+    per-event probe join). Tie rules flipped: events sort before
+    same-instant orders (kind 0 < 1) so an event exactly at order time
+    sees that order, and the smallest o_orderkey wins among
+    same-instant orders (first in ascending frame)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.lit(None).cast("long").alias("okey"), F.lit(0).alias("kind")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(1).alias("kind"),
+    )
+    merged = e.unionByName(o)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("okey", F.lit(0)), F.coalesce("event_id", F.lit(0)))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return (
+        merged.withColumn("next_orderkey", F.first("okey", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 0)
+        .select("event_id", "user_id", "ts", "next_orderkey")
+    )
