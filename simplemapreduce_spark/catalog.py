@@ -119,6 +119,7 @@ def load_all() -> None:
         subqueries,
         dedup,
         extensions,
+        graph,
         llm_text,
         merge,
         mr_compat,

@@ -1,0 +1,112 @@
+"""Iterative graph algorithms on DataFrames: PageRank over the nation
+trade network.
+
+The reference cannot iterate at all — one map phase, one reduce phase,
+hard barrier (/root/reference/src/mapreduce/master.go:77-78); chained
+jobs would re-read files from scratch. Extension scope (SURVEY.md
+§2.2), sibling of the iterative connected-components dedup clusters
+(plans/dedup.py).
+
+Graph: nodes = the 25 TPC-H nations; edge src→dst weighted by how many
+lineitems customers of nation src bought from suppliers of nation dst
+(lineitem ⨝ orders ⨝ customer ⨝ supplier; both dims broadcast). A
+fixed 3 iterations of damped PageRank keeps the computation exactly
+reproducible (no convergence threshold — float noise could flip an
+iteration count), so the whole loop is DuckDB-oracle-checkable via the
+unrolled formulation.
+
+Scale notes: the edge-building join is the expensive part and runs as
+one declarative plan (fact-fact join on orderkey + two broadcast
+dims). Each iteration is contributions-join + aggregate on the EDGE
+table — cost O(|E|) per iteration with no driver-side state beyond
+loop control; the same loop shape (DataFrame checkpoint per round at
+production scale) runs PageRank on billions of edges. Dangling mass
+is dropped (simplified PageRank), identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.sources.tables import load_table
+
+_N_NATIONS = 25  # TPC-H nation is a fixed 25-row table at every SF
+_DAMPING = 0.85
+_ITERS = 3
+
+
+def _unrolled_oracle() -> str:
+    its = ["it0 AS (SELECT node, CAST(1.0 AS DOUBLE) / 25 AS pr FROM nodes)"]
+    for k in range(_ITERS):
+        its.append(
+            f"""it{k + 1} AS (
+      SELECT n.node,
+             0.15 / 25 + 0.85 * COALESCE((
+               SELECT SUM(p.p * i.pr) FROM probs p
+               JOIN it{k} i ON i.node = p.src
+               WHERE p.dst = n.node), 0) AS pr
+      FROM nodes n)"""
+        )
+    return f"""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      GROUP BY 1, 2
+    ), probs AS (
+      SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges
+    ), nodes AS (
+      SELECT n_nationkey AS node FROM nation
+    ), {", ".join(its)}
+    SELECT node, CAST(round(pr, 6) AS DOUBLE) AS pagerank
+    FROM it{_ITERS}
+    """
+
+
+@query("q_graph_pagerank", oracle=_unrolled_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration damped PageRank (d=0.85) on the nation trade graph.
+    The oracle unrolls the identical iterations as chained CTEs, so the
+    DataFrame loop — the pattern the reference's single-phase barrier
+    cannot express — is value-checked, not just rows-counted. Final
+    ranks rounded to 6 decimals: per-node contribution sums are
+    O(25)-term float additions whose order differs between engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    probs = edges.select(
+        "src", "dst", (F.col("w") / F.sum("w").over(W.partitionBy("src"))).alias("p")
+    # The edge table is tiny (≤ N²) but derives from the expensive
+    # fact-fact join — persist so the 3 iterations don't recompute it.
+    ).persist()
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    pr = nodes.withColumn("pr", F.lit(1.0 / _N_NATIONS))
+    base = (1.0 - _DAMPING) / _N_NATIONS
+    for _ in range(_ITERS):
+        contrib = (
+            probs.join(pr, probs.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("c"))
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(base) + F.lit(_DAMPING) * F.coalesce("c", F.lit(0.0))).alias("pr"),
+        )
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))

@@ -219,3 +219,59 @@ def test_python_datasource_partition_planning(spark, sf_dir):
     df = spark.read.format("synthetic_docs").option("n", 100).option("partitions", 5).load()
     assert df.rdd.getNumPartitions() == 5
     assert df.count() == 100
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter injection: a selective filter on the dim
+    side of a shuffle join gets compiled into a bloom filter applied to
+    the fact scan side — rows that cannot match are dropped before the
+    exchange. At 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the matching fraction."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    # Below the broadcast threshold the join would broadcast and no
+    # bloom filter is needed — force the shuffle-join regime the
+    # optimization targets. The application-side size gate defaults to
+    # 10 GB (bloom cost only pays off on big scans); zero it so the
+    # MB-scale fixture exercises the same mechanism.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _plan(j)
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact scan on
+    its partition column against a filtered dim prunes fact partitions
+    at RUNTIME from the dim's build-side values — the partitioned-
+    layout counterpart of static pruning, and the reason partition
+    columns should be join keys at 100 TB."""
+    dst = str(tmp_path / "li_by_flag")
+    load_table(spark, sf_dir, "lineitem").limit(2000).write.partitionBy(
+        "l_returnflag"
+    ).mode("overwrite").parquet(dst)
+    fact = spark.read.parquet(dst)
+    dim = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag")
+        .distinct()
+        .filter(col("l_returnflag") == "R")
+    )
+    j = fact.join(dim, "l_returnflag").groupBy("l_returnflag").count()
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
