@@ -128,6 +128,7 @@ def load_all() -> None:
         relational_more,
         sampling,
         similarity,
+        sql_udf,
         timeseries,
         tpch_ext,
         windows,

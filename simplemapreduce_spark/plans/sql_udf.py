@@ -1,0 +1,128 @@
+"""SQL-defined functions and observed metrics (Spark 4 surface).
+
+Two late additions to the declarative surface:
+
+* ``CREATE FUNCTION ... RETURN <expr>`` — SQL scalar UDFs. Unlike
+  Python UDFs these inline into the plan as Catalyst expressions
+  (whole-stage codegen, pushdown-transparent): the user-extensibility
+  of a UDF with none of the serialization cost. The reference's only
+  extensibility is Go closures (common_map.go:64) — opaque to any
+  optimizer.
+* ``df.observe(...)`` — CollectMetrics: accumulator-backed aggregates
+  computed DURING an action with zero extra passes, the idiomatic way
+  to get the reference's per-job statistics report
+  (/root/reference/src/mapreduce/master.go:152-167) without a second
+  scan; complements the session-level task_stats API (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "q_sql_udf",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+           CAST(MAX(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS INT) AS max_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token totals through a SQL-defined scalar function:
+    ``tok_count`` is created with CREATE FUNCTION ... RETURN <expr> and
+    inlines into the aggregation as a plain Catalyst expression — the
+    plan is identical to writing the expression by hand (no Python
+    worker, codegen intact), which the paired no-python-udf plan test
+    asserts."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tok_count(s STRING) RETURNS INT "
+        "RETURN size(filter(split(s, '\\\\s+'), x -> x <> ''))"
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("smr_docs_sqludf")
+    return spark.sql(
+        """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(tok_count(text)) AS BIGINT) AS total_tokens,
+               MAX(tok_count(text)) AS max_tokens
+        FROM smr_docs_sqludf GROUP BY source
+        """
+    )
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation with an observe() tap on the filtered input: the
+    CollectMetrics node records row count and sum as accumulators
+    while the action runs — the result rows are untouched (the oracle
+    is the plain aggregation), which is exactly the contract observe
+    promises. tests/test_plans.py asserts the metrics values match the
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    observed = o.observe(
+        "q_observe_metrics_tap",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("price_seen"),
+    )
+    return observed.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+_ARROW_OUT = "event_type string, n bigint, total_cents bigint"
+
+
+@query(
+    "q_arrow_group_stats",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event stats via groupBy().applyInArrow — the zero-copy
+    sibling of applyInPandas: the user function receives a
+    pyarrow.Table per key (no pandas conversion at all), the natural
+    surface when the per-group logic is itself Arrow-native
+    (pyarrow.compute, or handoff to DataFusion/Polars-style kernels).
+    Cents math mirrors the stateful operators' half-away-from-zero
+    convention."""
+    from simplemapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def stats(key, table):  # no annotations: let Spark infer from usage
+        import numpy as np
+        import pyarrow as pa
+
+        v = table.column("value").to_numpy(zero_copy_only=False)
+        cents = int(
+            np.floor(np.abs(v) * 100 + 0.5).astype("int64") @ np.sign(v).astype("int64")
+        )
+        return pa.table(
+            {
+                "event_type": [key[0].as_py() if hasattr(key[0], "as_py") else key[0]],
+                "n": [table.num_rows],
+                "total_cents": [cents],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").applyInArrow(stats, _ARROW_OUT)

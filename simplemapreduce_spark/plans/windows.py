@@ -110,17 +110,24 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER w AS DOUBLE)
                 / COUNT(l_quantity) OVER w AS qty_ma4
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                 l_quantity, l_extendedprice
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
 )
 def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-row moving average per supplier (decimal-sum / count, same
-    deterministic-avg recipe as the aggregate catalog)."""
+    deterministic-avg recipe as the aggregate catalog).
+
+    Ordering note: (l_orderkey, l_linenumber) is NOT unique in the
+    synthetic lineitem (the generator reuses keys across scale-ups —
+    118k duplicate pairs at sf0.1), so the ORDER BY extends through
+    l_quantity and l_extendedprice to stay total; with a tied sort key
+    the 4-row frame contents would be engine-dependent."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .rowsBetween(-3, W.currentRow)
     )
     ma = (

@@ -275,3 +275,35 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     j = fact.join(dim, "l_returnflag").groupBy("l_returnflag").count()
     plan = _plan(j)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_sql_udf_inlines_no_python(spark, sf_dir):
+    """CREATE FUNCTION ... RETURN <expr> must inline as a Catalyst
+    expression: no Python evaluation node anywhere in the plan."""
+    df = catalog.QUERIES["q_sql_udf"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_observe_metrics_match_aggregate(spark, sf_dir):
+    """The observe() tap on q_observe_metrics must report exactly the
+    rows/sum of the filtered input while the action runs."""
+    from pyspark.sql import functions as F
+
+    df = catalog.QUERIES["q_observe_metrics"](spark, sf_dir)
+    rows = df.collect()
+    listed = {}
+    # Named observations surface through the execution listener only;
+    # the string-named observe() is also queryable via the last query
+    # execution's observedMetrics.
+    qe = df._jdf.queryExecution()
+    metrics = qe.observedMetrics()
+    row = metrics.get("q_observe_metrics_tap").get()
+    seen_rows, seen_price = row.getLong(0), row.getDecimal(1)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    want = o.select(
+        F.count(F.lit(1)), F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).first()
+    assert seen_rows == want[0]
+    assert str(seen_price) == str(want[1])
+    assert sum(r.n for r in rows) == want[0]
