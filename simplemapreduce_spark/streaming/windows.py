@@ -21,6 +21,7 @@ checkpointed, partitioned state.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -291,4 +292,57 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_table(deduped, "append")
     return out.groupBy("event_type").agg(
         F.count("user_id").alias("n_distinct_users")
+    )
+
+
+@query(
+    "q_stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom streaming sink via foreachBatch: each micro-batch lands
+    as an append into a parquet directory (the escape hatch for sinks
+    Spark has no native writer for — upserts, JDBC, external indexes).
+    The availableNow replay delivers every source row exactly once
+    across the batches, so the re-read of the sink directory aggregates
+    to the batch answer — the exactly-once-per-trigger contract made
+    checkable. Batch-id-keyed subdirectories would make the write
+    idempotent under retries at production scale; append mode keeps the
+    local check honest (a duplicated batch would fail the count)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    out = os.path.join(
+        tempfile.gettempdir(), "smr_scratch", f"foreach_batch_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("event_id", "event_type", "value").write.mode("append").parquet(out)
+
+    name = f"smr_stream_{int(_time.monotonic_ns())}"
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
     )

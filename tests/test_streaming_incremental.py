@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -125,6 +126,72 @@ def test_tws_running_totals(spark, sf_dir):
                 (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
             ).alias("total_value_cents"),
         )
+        .collect()
+    }
+    assert got == want
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, multi_file_events, tmp_path):
+    """Kill a checkpointed stream after the first micro-batch, restart
+    it with the same checkpoint, and the final counts still equal the
+    batch answer — source offsets committed to the checkpoint are not
+    re-read (exactly-once progress), uncommitted files are. This is
+    the recovery contract the reference implements with task
+    re-execution on worker failure (common_rpc.go:84-136), here
+    supplied by checkpointed offset tracking."""
+    ckpt = str(tmp_path / "ckpt")
+    out_name = "tws_restart_counts"
+
+    def start():
+        return (
+            spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(multi_file_events)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("memory")
+            .queryName(out_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    q = start()
+    # Let at least one micro-batch commit, then hard-stop mid-stream.
+    deadline = time.time() + 60
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    committed = sum(p["numInputRows"] for p in q.recentProgress)
+    total = load_table(spark, sf_dir, "events").count()
+    assert committed < total, "stream finished before the kill; lower the trigger"
+
+    # Restart from the same checkpoint with availableNow to drain.
+    q2 = (
+        spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi_file_events)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    q2.stop()
+    resumed = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert resumed == total - committed  # no re-read of committed offsets
+
+    got = {(r.event_type, r.n) for r in spark.table(out_name).collect()}
+    want = {
+        (r.event_type, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
         .collect()
     }
     assert got == want
