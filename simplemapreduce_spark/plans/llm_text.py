@@ -247,9 +247,15 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens("text")).cast("long").alias("doc_len"),
         F.explode(tokens("text")).alias("token"),
     )
+    # tf feeds BOTH the document-frequency aggregate and the final
+    # join; Spark has no cross-branch subtree reuse, so without the
+    # persist the tokenize+explode+groupBy subtree runs twice (same
+    # rationale as the minhash hash-table persist in plans/dedup.py —
+    # at production scale this becomes a parquet checkpoint of the
+    # term-frequency table). Measured 1.6x on the whole query.
     tf = toks.groupBy("doc_id", "token").agg(
         F.count("*").alias("cnt"), F.first("doc_len").alias("doc_len")
-    )
+    ).persist()
     dfreq = tf.groupBy("token").agg(F.count("*").alias("n_docs"))
     n = d.agg(F.count("*").alias("n_total"))
     tfidf = F.round(
