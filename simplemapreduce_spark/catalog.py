@@ -113,6 +113,7 @@ def load_all() -> None:
     # Imports are side-effectful by design (decorator registration).
     from simplemapreduce_spark.operators import cogroup, ml_lsh, py_udtf, skew  # noqa: F401
     from simplemapreduce_spark.plans import (  # noqa: F401
+        analytics,
         bucketing,
         curation,
         decontam,

@@ -1,0 +1,114 @@
+"""Product-analytics operators over the event stream: funnel
+conversion and cohort retention — the two workhorse OLAP shapes of
+behavioral analytics, absent from the reference (which has no notion
+of ordering or time at all; SURVEY.md §2.2).
+
+Scale notes: both are single-shuffle aggregations keyed on user_id
+(funnel) or cohort keys (retention); the funnel's per-user sequence
+test is a conditional MIN over event times — no per-user sort, no
+collect_list of the raw stream. At 100 TB both reduce to partial+final
+hash aggregation over the events scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_signup,
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                     AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM per_user
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: a user converts a
+    stage only if their FIRST event of that stage happens strictly
+    after their first event of the previous stage. The sequence test
+    compiles to three conditional MINs per user — one hash aggregation
+    over the scan, no per-user ordering or array materialization (the
+    formulation that survives hot users with millions of events)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    signup = F.col("t_signup").isNotNull()
+    click = signup & (F.col("t_click") > F.col("t_signup"))
+    purchase = click & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(signup.cast("int")).cast("long").alias("stage_signup"),
+        F.sum(click.cast("int")).cast("long").alias("stage_click"),
+        F.sum(purchase.cast("int")).cast("long").alias("stage_purchase"),
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('week', f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) AS week_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity WHERE week_offset <= 4
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted as active in each subsequent week (offsets 0..4). The
+    cohort table is user-level (small relative to events) and joins
+    back broadcast-style; distinct-per-(user, week) bounds the
+    aggregation input at |users| × |weeks|. Week bucketing is
+    date_trunc on both engines — identical Monday-start ISO weeks;
+    the cohort label renders as a yyyy-MM-dd string on both sides
+    (pandas would widen a DATE to a midnight timestamp otherwise)."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(week, F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 4)
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )
