@@ -42,20 +42,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # checked exactly queries 1-50 of 117, leaving whole categories with no
 # verdict — VERDICT.md "Next round" #3). This list pins the front of the
 # registration order to >=1 representative of EVERY SURVEY.md §2.2
-# category: aggregations, every join family (incl. skew-salted and full
-# outer), grouping analytics (rollup/cube/pivot/unpivot), sorts/top-k
-# (incl. per-group), set ops, scalar function groups, window frames,
-# sources (csv/json/orc/whole-file text) and partitioned sinks,
-# streaming (windowed + custom stateful), time series (as-of join,
-# downsample), sketches, dedup (incl. connected-components clusters),
-# similarity, text analysis, multimodal, the mapF/reduceF compat
-# surface, deterministic sampling, bucketed co-located joins,
-# decontamination, and data-mixture resampling. Set-op and
-# source-roundtrip siblings of in-window representatives follow at
-# position 51+ with the rest in import order.
+# category plus every round-2 operator family: all join families (incl.
+# binned range join, MERGE/CDC upsert, cogrouped reduce-side join,
+# bucketed co-located, skew-salted, both as-of directions), aggregations
+# (incl. deterministic argmax and statistical moments), grouping
+# analytics, top-k (incl. per-group), set ops, scalar functions (incl.
+# SQL-defined UDF and Python UDTF), windows, sources and partitioned
+# sinks, streaming (custom stateful + foreachBatch sink), sketches,
+# dedup, similarity, text, multimodal, the mapF/reduceF compat surface,
+# sampling, decontamination, data mixture, iterative PageRank, funnel /
+# cohort analytics, and observed metrics. Category siblings verified
+# green in earlier rounds follow at position 51+ in import order.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
-    "q6_forecast_revenue",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q_join_broadcast",
@@ -63,40 +62,37 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_semi",
     "q_join_anti",
     "q_join_range",
+    "q_join_range_binned",
     "q_join_full_outer",
     "q_join_salted_skew",
+    "q_merge_upsert",
+    "q_cogroup_reconcile",
     "q_agg_distinct",
+    "q_agg_max_by",
+    "q_agg_stats",
     "q_rollup",
-    "q_cube",
     "q_pivot",
-    "q_unpivot",
     "q_agg_minmax_percentile",
-    "q_agg_string",
     "q_topk",
-    "q_sort_multi",
     "q_topk_per_group",
     "q_set_union",
     "q_join_bucketed",
     "q_dedup_clusters",
     "q_scalar_string",
-    "q_scalar_date",
-    "q_scalar_math",
-    "q_scalar_json",
     "q_case_when",
+    "q_sql_udf",
+    "q_udtf_token_runs",
     "q_window_running_sum",
-    "q_window_range_frame",
     "q_source_csv_roundtrip",
     "q_decontaminate_ngram",
     "q_data_mixture",
     "q_sink_partitioned_parquet",
     "q_source_text_whole_files",
-    "q_stream_tumbling",
+    "q_stream_foreach_batch_sink",
     "q_stream_stateful_counts",
     "q_ts_asof_join",
-    "q_ts_downsample",
+    "q_ts_asof_forward",
     "q_approx_quantiles",
-    "q_approx_count_distinct",
-    "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_sim_topk_bruteforce",
     "q_text_token_stats",
@@ -104,6 +100,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_mr_compat_wordcount",
     "q_sample_hash",
     "q4_order_priority",
+    "q_graph_pagerank",
+    "q_funnel_conversion",
+    "q_cohort_retention",
+    "q_observe_metrics",
 )
 
 
