@@ -112,3 +112,44 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), pairs AS (
+      SELECT from_type, to_type FROM seq WHERE to_type IS NOT NULL
+    ), counted AS (
+      SELECT from_type, to_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM counted
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (Markov chain estimate):
+    adjacent event pairs per user via LEAD over the per-user stream,
+    then counts and per-source transition probabilities. One window
+    pass + one aggregation; the probability normalizer is a window sum
+    over the (tiny) |types|² matrix. The division is the same integer
+    ratio on both engines, so no rounding is needed."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counted = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(W.partitionBy("from_type"))).alias("p"),
+    )
