@@ -380,3 +380,30 @@ def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v.alias("v"), "$.o_totalprice", "double").alias("price"),
         F.variant_get(v.alias("v"), "$.parties[1]", "bigint").alias("second_party"),
     )
+
+
+@query(
+    "q_source_xml_roundtrip",
+    oracle="""
+    SELECT r_regionkey, MIN(r_name) AS region_name
+    FROM region GROUP BY r_regionkey
+    """,
+)
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (built-in connector since Spark 4):
+    write the region table as XML row elements, read it back with an
+    explicit schema, aggregate. XML scans are row-tag splittable, so
+    the source parallelizes like any file format."""
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = _scratch_dir("region_xml", sf_dir)
+    r.write.mode("overwrite").option("rootTag", "regions").option("rowTag", "region").format(
+        "xml"
+    ).save(path)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.LongType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    back = spark.read.option("rowTag", "region").schema(schema).format("xml").load(path)
+    return back.groupBy("r_regionkey").agg(F.min("r_name").alias("region_name"))
