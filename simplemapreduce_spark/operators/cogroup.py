@@ -80,20 +80,11 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def reconcile(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+        from simplemapreduce_spark.functions.money import cents_i64
 
         n_events = len(ev)
         n_orders = len(od)
-        if n_orders:
-            v = od["o_totalprice"].to_numpy()
-            # half-away-from-zero cents (same convention as the
-            # stateful operators and the oracle's DECIMAL cast).
-            cents = int(
-                np.floor(np.abs(v) * 100 + 0.5).astype("int64")
-                @ np.sign(v).astype("int64")
-            )
-        else:
-            cents = 0
+        cents = cents_i64(od["o_totalprice"].to_numpy())
         active_before = bool(
             n_events and n_orders and ev["ts"].min() < od["o_orderdate"].min()
         )

@@ -35,9 +35,15 @@ class TokenRuns:
     length >= 2 (1-runs are every other token — noise, not signal)."""
 
     def eval(self, text: str):  # noqa: D102 — UDTF contract
+        import re
+
         if text is None:
             return
-        toks = text.split()
+        # Split on the same ASCII \s+ class the DuckDB oracle's RE2 (and
+        # Java regex) use. Both str.split() and Python's default \s are
+        # Unicode-aware (U+00A0, U+2003, ...) and would silently diverge
+        # on non-ASCII fixtures — re.ASCII pins the class.
+        toks = [t for t in re.split(r"\s+", text, flags=re.ASCII) if t]
         i, n = 0, len(toks)
         while i < n:
             j = i

@@ -189,9 +189,9 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scratch_dir(kind: str, sf_dir: str) -> str:
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), "smr_scratch", f"{kind}_{sf_tag}")
+# Shared helper (promoted to its own module; re-exported here for the
+# sibling plan modules that import it).
+from simplemapreduce_spark.scratch import scratch_dir as _scratch_dir  # noqa: E402
 
 
 @query(

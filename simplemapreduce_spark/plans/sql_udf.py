@@ -109,13 +109,11 @@ def q_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_shipped(spark)
 
     def stats(key, table):  # no annotations: let Spark infer from usage
-        import numpy as np
         import pyarrow as pa
 
-        v = table.column("value").to_numpy(zero_copy_only=False)
-        cents = int(
-            np.floor(np.abs(v) * 100 + 0.5).astype("int64") @ np.sign(v).astype("int64")
-        )
+        from simplemapreduce_spark.functions.money import cents_i64
+
+        cents = cents_i64(table.column("value").to_numpy(zero_copy_only=False))
         return pa.table(
             {
                 "event_type": [key[0].as_py() if hasattr(key[0], "as_py") else key[0]],

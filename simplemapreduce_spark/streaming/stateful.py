@@ -54,7 +54,6 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     last emission per user equals the batch aggregate — exactly
     oracle-checkable. Value summed in integer cents (2-decimal data)
     so no float-accumulation drift across engines."""
-    import numpy as np
     import pandas as pd
 
     from simplemapreduce_spark.session import ensure_package_shipped
@@ -62,15 +61,13 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_shipped(spark)
 
     def update(key, pdfs, state: GroupState):
+        from simplemapreduce_spark.functions.money import cents_i64
+
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # per-element half-away-from-zero rounding (the oracle's
-            # CAST(.. AS DECIMAL) convention) — pandas .round() would
-            # round half-to-even and diverge on exact half-cent doubles
             if len(pdf):
-                v = pdf["value"].to_numpy()
-                cents += int(np.floor(np.abs(v) * 100 + 0.5).astype("int64") @ np.sign(v).astype("int64"))
+                cents += cents_i64(pdf["value"].to_numpy())
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]})
 
@@ -123,7 +120,6 @@ def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     and checkpointed incrementally (changelog), the configuration that
     holds for billions of keys where the default HDFS-backed store
     (full-snapshot, heap-resident) cannot."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -133,11 +129,6 @@ def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplemapreduce_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    # transformWithState requires the RocksDB provider (runtime-settable).
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
 
     state_schema = T.StructType(
         [T.StructField("n", T.LongType(), True), T.StructField("cents", T.LongType(), True)]
@@ -148,18 +139,13 @@ def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._state = handle.getValueState("totals", state_schema)
 
         def handleInputRows(self, key, rows, timerValues):
+            from simplemapreduce_spark.functions.money import cents_i64
+
             n, cents = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
                 if len(pdf):
-                    v = pdf["value"].to_numpy()
-                    # half-away-from-zero cents, same convention as the
-                    # applyInPandasWithState twin and the oracle's
-                    # CAST(.. AS DECIMAL(18,2)).
-                    cents += int(
-                        np.floor(np.abs(v) * 100 + 0.5).astype("int64")
-                        @ np.sign(v).astype("int64")
-                    )
+                    cents += cents_i64(pdf["value"].to_numpy())
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]}
@@ -178,7 +164,25 @@ def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
-    out = run_stream_to_table(updates, "append")
+    # transformWithState requires the RocksDB provider (runtime-settable);
+    # scope the override to this stream so unrelated streaming queries in
+    # the shared session keep the default provider.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev_provider = spark.conf.get(provider_key)
+    except Exception:
+        prev_provider = None
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_to_table(updates, "append")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())

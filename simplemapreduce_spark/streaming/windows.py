@@ -55,12 +55,36 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP_LTZ event time; queries that *return* window bounds
     convert back with :func:`event_time_to_ntz` so rendered values
     match the naive timestamps DuckDB sees, on any session timezone.
+
+    Mirrors the batch loader's compat path (sources/tables.py): if the
+    fixture encodes ts as TIMESTAMP(NANOS) (round-1 layout, read as a
+    nanosecond long under nanosAsLong), normalize to the same NTZ
+    wall clock before the event-time conversion, so batch and stream
+    agree on either fixture generation.
     """
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from simplemapreduce_spark.functions.time import micros_to_ntz
+    from simplemapreduce_spark.sources.tables import load_table
+
+    batch_dtypes = dict(load_table(spark, sf_dir, "events").dtypes)
+    if batch_dtypes.get("ts") == "bigint":  # TIMESTAMP(NANOS) fixture
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType(), True)
+                for f in EVENTS_RAW_SCHEMA.fields
+            ]
+        )
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        raw = raw.withColumn("ts", micros_to_ntz(F.expr("ts div 1000")))
+    else:
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return raw.withColumn("ts", ntz_as_event_time("ts"))
 
 
@@ -77,7 +101,10 @@ def run_stream_to_table(df: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)  # availableNow terminates once drained
+        # availableNow terminates once drained; a False return means the
+        # drain timed out and the table is PARTIAL — fail loudly rather
+        # than hand a silently-wrong result to the oracle compare.
+        assert q.awaitTermination(300), "stream drain timed out after 300s"
     finally:
         q.stop()
     return spark.table(name)
@@ -314,12 +341,11 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent under retries at production scale; append mode keeps the
     local check honest (a duplicated batch would fail the count)."""
     import shutil
-    import tempfile
     import time as _time
 
-    out = os.path.join(
-        tempfile.gettempdir(), "smr_scratch", f"foreach_batch_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
+    from simplemapreduce_spark.scratch import scratch_dir
+
+    out = scratch_dir("foreach_batch", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -335,7 +361,7 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "stream drain timed out after 300s"
     finally:
         q.stop()
     return (
