@@ -110,3 +110,42 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(base) + F.lit(_DAMPING) * F.coalesce("c", F.lit(0.0))).alias("pr"),
         )
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+_REACH_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ), reach(node, hops) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+      UNION ALL
+      SELECT e.dst AS node, r.hops + 1 AS hops
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 2
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS min_hops
+    FROM reach GROUP BY node
+"""
+
+
+@query("q_recursive_cte_reachability", oracle=_REACH_SQL)
+def q_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): nations reachable from
+    nation 0 along trade edges within 2 hops, with the minimum hop
+    count — transitive closure with level tracking, the canonical
+    recursive-SQL workload. The IDENTICAL SQL text runs on Spark and
+    DuckDB (both implement standard WITH RECURSIVE), so the engines'
+    entire recursive-evaluation paths are compared, not just a
+    translation. The dense 25-node graph bounds the UNION ALL frontier
+    (~0.7k rows at 2 hops); each recursive step is one equi-join on the
+    broadcastable edge table — the same per-iteration cost model as the
+    DataFrame-loop PageRank above."""
+    from simplemapreduce_spark.sources.tables import load_table
+
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_REACH_SQL)
