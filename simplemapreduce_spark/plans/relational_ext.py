@@ -170,13 +170,19 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame (value-based, not row-based): trailing-30-day
     spend per customer. Spark's rangeBetween needs a numeric ordering
-    key, so the frame runs over epoch seconds — semantically identical
-    to the SQL INTERVAL frame."""
+    key, so the frame runs over epoch MICROseconds — exactly the SQL
+    INTERVAL '30 days' frame (a seconds floor could flip membership at
+    sub-second edges). Epoch extraction is the NTZ wall-clock helper
+    (functions/time.py), not unix_timestamp, which would route the
+    naive value through the session timezone and shift frame edges
+    across DST transitions on a non-UTC driver."""
+    from simplemapreduce_spark.functions.time import epoch_micros
+
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     w = (
         W.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-30 * 86400, 0)
+        .orderBy(epoch_micros("o_orderdate"))
+        .rangeBetween(-30 * 86400 * 1_000_000, 0)
     )
     return o.select(
         "o_custkey",
@@ -407,3 +413,40 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.option("rowTag", "region").schema(schema).format("xml").load(path)
     return back.groupBy("r_regionkey").agg(F.min("r_name").alias("region_name"))
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, NULLIF(event_type, 'error') AS etype FROM events
+    ), d AS (
+      SELECT NULLIF(event_type, 'error') AS etype, COUNT(*) AS n_of_type
+      FROM events GROUP BY 1
+    )
+    SELECT e.etype, COUNT(*) AS n_events, MIN(d.n_of_type) AS n_of_type
+    FROM e JOIN d ON e.etype IS NOT DISTINCT FROM d.etype
+    GROUP BY e.etype
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing, so the NULL-keyed group
+    (events whose type was nulled out) survives the join — the
+    semantic a plain equi-join silently drops. Catalyst still plans a
+    hash join (null-safe equality is a valid equi-key), not a
+    nested-loop."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.nullif(F.col("event_type"), F.lit("error")).alias("etype")
+    )
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.nullif(F.col("event_type"), F.lit("error")).alias("etype"))
+        .agg(F.count("*").alias("n_of_type"))
+    )
+    joined = e.join(d, e.etype.eqNullSafe(d.etype)).select(
+        e.etype.alias("etype"), "n_of_type"
+    )
+    return joined.groupBy("etype").agg(
+        F.count("*").alias("n_events"), F.min("n_of_type").alias("n_of_type")
+    )

@@ -303,3 +303,37 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
     )
+
+
+@query(
+    "q_pivot_multi_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F_qty,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O_qty,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with TWO aggregates per pivot value (sum + count): Spark
+    emits one column per (value, aggregate) pair from a single
+    partial+final aggregation — no per-value scan. Explicit pivot
+    values keep the plan static (no distinct-values pre-query)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_qty"),
+        F.col("F_n"),
+        F.col("O_qty"),
+        F.col("O_n"),
+    )

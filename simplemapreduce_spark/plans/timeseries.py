@@ -343,3 +343,32 @@ def q_ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kind") == 0)
         .select("event_id", "user_id", "ts", "next_orderkey")
     )
+
+
+@query(
+    "q_ts_percentiles",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
+           CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(value, 0.95), 6) AS DOUBLE) AS p95,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_ts_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95 latency-style bands over the event values — exact
+    linear-interpolation percentiles per day bucket (Spark percentile ≡
+    DuckDB quantile_cont), rounded to 6 decimals because interpolation
+    arithmetic can differ in the last ulp. At scale, exact percentile
+    sorts each group; the documented cheap path is approx_percentile
+    (q_approx_quantiles) — this query is the exact twin."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        e.groupBy(day.alias("day"))
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -194,3 +194,33 @@ def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("bal_cume"),
         F.round(F.percent_rank().over(w), 9).alias("bal_pct_rank"),
     )
+
+
+@query(
+    "q_window_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+           LEAD(o_totalprice, 2) OVER w AS price_after_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value (2nd order's price seen so far) and multi-step lead
+    per customer order history — the positional window accessors that
+    complete the first/last/lag/lead family."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.lead("o_totalprice", 2).over(wo).alias("price_after_next"),
+    )
