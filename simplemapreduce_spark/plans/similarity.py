@@ -386,3 +386,75 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(qfp).alias("qfp"),
         F.size("embedding").alias("n_dims"),
     )
+
+
+_MRL_DIMS = 16
+
+
+@query(
+    "q_sim_matryoshka_eval",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qe, v.e), 4) AS cos_full,
+             ROUND(list_cosine_similarity(q.qe[1:{_MRL_DIMS}], v.e[1:{_MRL_DIMS}]), 4) AS cos_trunc
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_full, cos_trunc,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_trunc DESC, neighbor_id) AS rt
+      FROM scored
+    )
+    SELECT f.query_id,
+           f.neighbor_id AS top1_full,
+           t.neighbor_id AS top1_trunc,
+           f.cos_full AS cos_full,
+           t.cos_trunc AS cos_trunc,
+           CAST(f.neighbor_id = t.neighbor_id AS BOOLEAN) AS agree
+    FROM (SELECT * FROM ranked WHERE rf = 1) f
+    JOIN (SELECT * FROM ranked WHERE rt = 1) t USING (query_id)
+    """,
+)
+def q_sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality check: for each query vector, the
+    exact top-1 neighbor under full 64-d cosine vs under the first-16
+    prefix (MRL-style truncation — cheaper storage/compute ANN), and
+    whether they agree. Renormalization is a no-op for cosine ranking,
+    so prefix cosine IS the truncated-embedding similarity. One
+    broadcast of the query set scores both metrics in the same pass —
+    the standard protocol for deciding how far an embedding column can
+    be truncated before recall collapses."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    prefix = lambda c: F.slice(c, 1, _MRL_DIMS)  # noqa: E731
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_full"),
+        F.round(cosine_similarity(prefix(F.col("qe")), prefix(F.col("e"))), 4).alias("cos_trunc"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("cos_full").desc(), F.col("neighbor_id"))
+    wt = W.partitionBy("query_id").orderBy(F.col("cos_trunc").desc(), F.col("neighbor_id"))
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    f = ranked.filter(F.col("rf") == 1).select(
+        "query_id", F.col("neighbor_id").alias("top1_full"), "cos_full"
+    )
+    t = ranked.filter(F.col("rt") == 1).select(
+        "query_id", F.col("neighbor_id").alias("top1_trunc"), "cos_trunc"
+    )
+    return f.join(t, "query_id").select(
+        "query_id",
+        "top1_full",
+        "top1_trunc",
+        "cos_full",
+        "cos_trunc",
+        (F.col("top1_full") == F.col("top1_trunc")).alias("agree"),
+    )
