@@ -85,3 +85,38 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         F.min("type_rank").alias("type_rank"),
     )
+
+
+@query(
+    "q_agg_distinct_salted",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) under key skew via explicit two-phase
+    salting: phase 1 deduplicates (key, salt, value) where
+    salt = hash(value) % N — each hot key's distinct-set build spreads
+    over N reducers and a value always lands on the same salt, so the
+    per-(key, salt) counts partition the distinct set exactly; phase 2
+    sums the partial counts per key. This is the holistic-aggregate
+    sibling of salted_join above: Catalyst's partial aggregation
+    already two-phases COUNT(DISTINCT) the same way internally
+    (Expand + partial), but the explicit form is the template for
+    holistic aggregates Spark can NOT partial-ize (exact medians,
+    collect-based logic) where a hot key otherwise serializes on one
+    reducer."""
+    e = load_table(spark, sf_dir, "events")
+    n_salt = 8
+    salted = e.select(
+        "event_type",
+        F.pmod(F.hash("user_id"), F.lit(n_salt)).alias("_salt"),
+        "user_id",
+    ).dropDuplicates(["event_type", "_salt", "user_id"])
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("_partial")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_partial").alias("n_users")
+    )

@@ -450,3 +450,48 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("etype").agg(
         F.count("*").alias("n_events"), F.min("n_of_type").alias("n_of_type")
     )
+
+
+@query(
+    "q_scalar_parse_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://host' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example/path/' || CAST(doc_id AS VARCHAR)
+               || '?uid=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=feed' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]uid=([^&]*)', 1) AS uid,
+           regexp_extract(url, '^([a-z]+):', 1) AS protocol
+    FROM u
+    """,
+)
+def q_scalar_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction via the parse_url built-in family
+    (HOST / PATH / QUERY-parameter / PROTOCOL) — JVM-side, codegen'd.
+    The fixture has no URL column, so a deterministic URL is
+    synthesized per document (same proof strategy as the PII and
+    url-extract queries); the oracle re-derives each component with
+    regexes, so Spark's dedicated parser is cross-checked against a
+    from-scratch implementation rather than itself."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?uid="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=feed"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("uid")).alias("uid"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )
