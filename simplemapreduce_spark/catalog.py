@@ -38,72 +38,87 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The grading driver verifies the FIRST ~50 registered queries (round 1
-# checked exactly queries 1-50 of 117, leaving whole categories with no
-# verdict — VERDICT.md "Next round" #3). This list pins the front of the
-# registration order to >=1 representative of EVERY SURVEY.md §2.2
-# category plus every round-2 operator family: all join families (incl.
-# binned range join, MERGE/CDC upsert, cogrouped reduce-side join,
-# bucketed co-located, skew-salted, both as-of directions), aggregations
-# (incl. deterministic argmax and statistical moments), grouping
-# analytics, top-k (incl. per-group), set ops, scalar functions (incl.
-# SQL-defined UDF and Python UDTF), windows, sources and partitioned
-# sinks, streaming (custom stateful + foreachBatch sink), sketches,
-# dedup, similarity, text, multimodal, the mapF/reduceF compat surface,
-# sampling, decontamination, data mixture, iterative PageRank, funnel /
-# cohort analytics, and observed metrics. Category siblings verified
-# green in earlier rounds follow at position 51+ in import order.
+# The grading driver verifies the FIRST ~50 registered queries. Round-3
+# window policy (VERDICT r2 "Next round" #1-2): previously-RED queries
+# ALWAYS lead — positions 1-6 are round 1's six never-driver-green
+# failures whose fixes (decimal double-cast, ASCII byte-math multimodal
+# oracles, scalar-column LSH outputs) have never been driver-confirmed —
+# followed by q_approx_quantiles (upgraded this round from rows-only to
+# an exact quantile_disc oracle). The remaining 43 slots rotate in
+# queries that have NEVER received a driver verdict (89 existed after
+# round 2), spanning every family: the TPC-H-adapted suite Q7-Q22,
+# window siblings, event-time/timeseries, streaming joins + dedup,
+# scalar families, subqueries + recursive CTE, curation/text tails,
+# similarity (IVF, bucketed LSH, quantization), containment dedup,
+# salted distinct, the four remaining source formats, the null-safe
+# join, and the end-to-end training-data pipeline. Queries already
+# driver-green in rounds 1-2 follow at position 51+ in import order;
+# cumulative distinct driver-checked coverage after this window:
+# 123/169.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q_join_broadcast",
-    "q_join_left_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range",
-    "q_join_range_binned",
-    "q_join_full_outer",
-    "q_join_salted_skew",
-    "q_merge_upsert",
-    "q_cogroup_reconcile",
-    "q_agg_distinct",
-    "q_agg_max_by",
-    "q_agg_stats",
-    "q_rollup",
-    "q_pivot",
-    "q_agg_minmax_percentile",
-    "q_topk",
-    "q_topk_per_group",
-    "q_set_union",
-    "q_join_bucketed",
-    "q_dedup_clusters",
-    "q_scalar_string",
-    "q_case_when",
-    "q_sql_udf",
-    "q_udtf_token_runs",
-    "q_window_running_sum",
-    "q_source_csv_roundtrip",
-    "q_decontaminate_ngram",
-    "q_data_mixture",
-    "q_sink_partitioned_parquet",
-    "q_source_text_whole_files",
-    "q_stream_foreach_batch_sink",
-    "q_stream_stateful_counts",
-    "q_ts_asof_join",
-    "q_ts_asof_forward",
+    # -- round 1 reds, never re-judged (VERDICT r2 top_next) --
+    "q_cube",
+    "q_approx_count_distinct",
+    "q_ml_minhash_lsh",
+    "q_ml_brp_lsh",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    # -- rows-only in r2, now exactly oracled --
     "q_approx_quantiles",
-    "q_dedup_minhash_lsh",
-    "q_sim_topk_bruteforce",
-    "q_text_token_stats",
-    "q_multimodal_frames",
-    "q_mr_compat_wordcount",
-    "q_sample_hash",
-    "q4_order_priority",
-    "q_graph_pagerank",
-    "q_funnel_conversion",
-    "q_cohort_retention",
-    "q_observe_metrics",
+    # -- never driver-checked: TPC-H-adapted suite --
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q12_late_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    # -- never checked: windows --
+    "q_window_moving_avg",
+    "q_window_lag_lead",
+    "q_window_nth_value",
+    # -- never checked: event-time / timeseries --
+    "q_ts_tumbling",
+    "q_ts_session_window",
+    "q_ts_gap_fill",
+    "q_ts_downsample",
+    # -- never checked: streaming --
+    "q_stream_stream_join",
+    "q_stream_dedup",
+    # -- never checked: scalar families --
+    "q_scalar_date",
+    "q_scalar_json",
+    # -- never checked: subqueries + recursion --
+    "q_subquery_correlated",
+    "q_subquery_scalar",
+    "q_lateral_posexplode",
+    "q_recursive_cte_reachability",
+    # -- never checked: curation / text tails --
+    "q_text_pii_redact",
+    "q_pack_token_budget",
+    "q_domain_caps",
+    "q_sample_stratified",
+    # -- never checked: similarity --
+    "q_sim_ivf_topk",
+    "q_sim_topk_lsh_bucketed",
+    "q_embedding_quantize",
+    # -- never checked: dedup / skew-agg --
+    "q_dedup_containment",
+    "q_agg_distinct_salted",
+    # -- never checked: remaining source formats --
+    "q_source_json_roundtrip",
+    "q_source_xml_roundtrip",
+    "q_source_orc_roundtrip",
+    "q_source_python_datasource",
+    # -- never checked: joins + pipeline --
+    "q_join_null_safe",
+    "q_pipeline_training_data",
 )
 
 

@@ -114,8 +114,10 @@ def q_agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.hash("user_id"), F.lit(n_salt)).alias("_salt"),
         "user_id",
     ).dropDuplicates(["event_type", "_salt", "user_id"])
+    # count(user_id), not count(*): COUNT(DISTINCT x) ignores NULLs, and
+    # a NULL user_id would survive dropDuplicates as its own row.
     partial = salted.groupBy("event_type", "_salt").agg(
-        F.count("*").alias("_partial")
+        F.count("user_id").alias("_partial")
     )
     return partial.groupBy("event_type").agg(
         F.sum("_partial").alias("n_users")

@@ -95,13 +95,13 @@ _RANGE_MICROS = 72 * 3600 * 1_000_000  # 72-hour lookback window
 @query(
     "q_join_range_binned",
     oracle="""
-    SELECT e.event_id, COUNT(*) AS n_orders,
-           MAX(o.o_totalprice) AS max_order_price
+    SELECT e.event_id, COUNT(*) AS n_recent,
+           MAX(p.value) AS max_recent_value
     FROM events e
-    JOIN orders o
-      ON o.o_custkey = e.user_id
-     AND o.o_orderdate <= e.ts
-     AND o.o_orderdate >= e.ts - INTERVAL 72 HOURS
+    JOIN events p
+      ON p.user_id = e.user_id
+     AND p.ts <= e.ts
+     AND p.ts >= e.ts - INTERVAL 72 HOURS
     GROUP BY e.event_id
     """,
 )
@@ -109,19 +109,26 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join rewritten as a binned equi-join — the formulation
     that scales where a raw theta join cannot.
 
-    Semantics: each event counts the same customer's orders in the 72
-    hours before it. A plain `BETWEEN` join is a broadcast-nested-loop
-    (or, keyed on customer alone, a per-customer cross product that
-    blows up on hot customers). Binning quantizes time into
-    window-width buckets: an order at bucket b can only satisfy events
-    in buckets {b, b+1}, so replicating the ORDER side 2x and
-    equi-joining on (customer, bucket) bounds the candidate set, then
-    the exact predicate filters — a hash join with a 2x replication
-    factor instead of an unbounded theta join. Each (event, order)
-    pair meets exactly once because the event's bucket is unique and
-    the two order replicas carry distinct bucket keys, so no dedup
-    pass is needed. This is the standard interval-join binning used by
-    stream processors for time-bounded joins.
+    Semantics: each event counts the same user's events in the 72
+    hours up to and including it (a lookback activity window). The
+    probe is deliberately events-to-events: round 2's events-to-orders
+    version had disjoint time domains (events 2024, orders 1995-2001),
+    so the rewrite was only ever verified on an empty result
+    (ADVICE r2). Self-overlap guarantees every event matches at least
+    itself and that bucket-boundary pairs are exercised.
+
+    A plain `BETWEEN` join is a broadcast-nested-loop (or, keyed on
+    user alone, a per-user cross product that blows up on hot users).
+    Binning quantizes time into window-width buckets: a probe row at
+    bucket b can only satisfy events in buckets {b, b+1}, so
+    replicating the probe side 2x and equi-joining on (user, bucket)
+    bounds the candidate set, then the exact predicate filters — a
+    hash join with a 2x replication factor instead of an unbounded
+    theta join. Each pair meets exactly once because the event's
+    bucket is unique and the two probe replicas carry distinct bucket
+    keys, so no dedup pass is needed. This is the standard
+    interval-join binning used by stream processors for time-bounded
+    joins.
 
     No reference equivalent (no join operator exists in
     /root/reference; SURVEY.md §2.2 Joins)."""
@@ -129,28 +136,28 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
-        F.col("user_id").alias("custkey"),
+        "user_id",
         epoch_micros("ts").alias("eu"),
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"),
-        epoch_micros("o_orderdate").alias("ou"),
-        "o_totalprice",
+    p = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_micros("ts").alias("pu"),
+        "value",
     )
     e_binned = e.withColumn("bin", (F.col("eu") / _RANGE_MICROS).cast("bigint"))
-    o_binned = o.withColumn(
+    p_binned = p.withColumn(
         "bin",
         F.explode(
             F.array(
-                (F.col("ou") / _RANGE_MICROS).cast("bigint"),
-                (F.col("ou") / _RANGE_MICROS).cast("bigint") + 1,
+                (F.col("pu") / _RANGE_MICROS).cast("bigint"),
+                (F.col("pu") / _RANGE_MICROS).cast("bigint") + 1,
             )
         ),
     )
-    joined = e_binned.join(o_binned, ["custkey", "bin"]).filter(
-        (F.col("ou") <= F.col("eu")) & (F.col("ou") >= F.col("eu") - _RANGE_MICROS)
+    joined = e_binned.join(p_binned, ["user_id", "bin"]).filter(
+        (F.col("pu") <= F.col("eu")) & (F.col("pu") >= F.col("eu") - _RANGE_MICROS)
     )
     return joined.groupBy("event_id").agg(
-        F.count("*").alias("n_orders"),
-        F.max("o_totalprice").alias("max_order_price"),
+        F.count("*").alias("n_recent"),
+        F.max("value").alias("max_recent_value"),
     )

