@@ -145,6 +145,7 @@ def load_all() -> None:
         sampling,
         similarity,
         sql_udf,
+        stats,
         timeseries,
         tpch_ext,
         windows,

@@ -278,3 +278,65 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("doc_id", "token", tfidf.alias("tfidf"))
     )
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    db AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (SELECT bg, COUNT(*) AS cnt FROM db GROUP BY 1),
+    uc AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(cnt) AS c1 FROM bc GROUP BY 1)
+    SELECT db.doc_id, COUNT(*) AS n_bigrams,
+           CAST(ROUND(AVG(-log2(CAST(bc.cnt AS DOUBLE) / uc.c1)), 6) AS DOUBLE)
+             AS cross_entropy
+    FROM db
+    JOIN bc USING (bg)
+    JOIN uc ON uc.w1 = string_split(db.bg, ' ')[1]
+    GROUP BY db.doc_id
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model scoring each document's per-bigram
+    cross-entropy — the perplexity-style quality signal used to filter
+    training data (low = repetitive/templated, high = unusual token
+    transitions). Train and score on the same corpus, unsmoothed: every
+    scored bigram exists in the counts by construction, so P > 0 (a
+    held-out variant adds the usual add-one term on both engines).
+    Documents with fewer than two tokens have no bigrams and are
+    excluded.
+
+    Scale shape: bigram counts = one groupBy on the exploded bigram
+    stream (the conditional totals per prefix word derive from that
+    already-vocabulary-sized table, not a second corpus pass); scoring
+    joins the doc bigram stream to the two count tables on bigram /
+    prefix keys — broadcast when the vocabulary is small, plain
+    equi-join shuffles when it is not — then one per-doc aggregate."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    bigram_arr = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    db = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigram_arr).alias("bg"))
+    )
+    bc = db.groupBy("bg").agg(F.count("*").alias("cnt"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    uc = bc.groupBy(w1.alias("w1")).agg(F.sum("cnt").alias("c1"))
+    scored = (
+        db.join(F.broadcast(bc), "bg")
+        .join(F.broadcast(uc), w1 == F.col("w1"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.avg(-F.log2(F.col("cnt").cast("double") / F.col("c1"))), 6
+        ).alias("cross_entropy"),
+    )

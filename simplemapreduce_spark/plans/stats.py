@@ -1,0 +1,173 @@
+"""Statistical / analytical operators: per-group OLS regression,
+behavioral entropy, Pareto frontier (skyline), fuzzy lexicon lookup.
+
+Extension scope: the reference computes nothing numeric — its reduce
+is an opaque string fold (/root/reference/src/mapreduce/
+common_reduce.go:78-87). These are the feature-engineering aggregates
+a training-data pipeline derives alongside the text signals in
+plans/llm_text.py (SURVEY.md §2.2 extension categories).
+
+All four are pure built-in-function plans (no Python UDFs); each
+docstring carries its 100 TB shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "q_agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS DOUBLE) AS slope,
+           CAST(ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS DOUBLE) AS intercept,
+           CAST(ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS DOUBLE) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (price ~ quantity) with the
+    SQL-standard REGR_* aggregate family — slope, intercept, R².
+
+    Scale shape: regr_* are algebraic aggregates (sums of x, y, xy, x²,
+    y² merged associatively), so Catalyst runs them partial/final like
+    SUM — one shuffle of constant-size state per group, no holistic
+    pass. This is the distributed-friendly way to fit millions of
+    per-segment trend lines in one scan. Rounded to 6 decimals because
+    the partial-merge order differs between engines in the last ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n"),
+    )
+
+
+@query(
+    "q_event_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT user_id, n, SUM(n) OVER (PARTITION BY user_id) AS tot FROM c
+    )
+    SELECT user_id,
+           CAST(MAX(tot) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(-(CAST(n AS DOUBLE) / tot)
+                           * log2(CAST(n AS DOUBLE) / tot)), 6) AS DOUBLE) AS entropy
+    FROM w GROUP BY user_id
+    """,
+)
+def q_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    standard behavioral-diversity feature (0 = single-action bots,
+    high = diverse engagement).
+
+    Scale shape: one groupBy(user, type) shuffle; the window total and
+    the final per-user aggregate reuse the same user_id partitioning,
+    so no second full shuffle. Entropy terms are a per-row projection;
+    per-user term counts are bounded by the event-type vocabulary."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(W.partitionBy("user_id"))
+    w = c.withColumn("tot", tot)
+    p = F.col("n").cast("double") / F.col("tot")
+    return w.groupBy("user_id").agg(
+        F.max("tot").cast("long").alias("n_events"),
+        F.round(F.sum(-p * F.log2(p)), 6).alias("entropy"),
+    )
+
+
+@query(
+    "q_pareto_frontier",
+    oracle="""
+    SELECT r.p_partkey, r.p_retailprice, r.p_size
+    FROM part r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part s
+      WHERE s.p_retailprice <= r.p_retailprice
+        AND s.p_size >= r.p_size
+        AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size)
+    )
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): parts not dominated on (cheaper
+    price, larger size). A part is dominated if another is at-least-as
+    good on both axes and strictly better on one; ties on both axes
+    keep both rows.
+
+    The oracle is the O(n²) NOT EXISTS dominance spec; the Spark plan
+    is the O(n log n) sweep, so the comparison checks the rewrite, not
+    a translation. Sweep: aggregate to max(size) per distinct price
+    (one shuffle), order the distinct-price table ascending, and keep
+    a price group iff its max size strictly exceeds the running max
+    over all strictly-cheaper groups; within a kept group, rows at the
+    group max survive. The single-partition window runs over the
+    distinct-x AGGREGATE (vocabulary-sized, ≪ rows at 100 TB — price
+    grids are finite); the full table is only touched by scan-shaped
+    stages and the final broadcast join against the tiny frontier
+    group table."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    g = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    prev = F.max("gmax").over(
+        W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    )
+    keep = g.withColumn("prev_max", prev).filter(
+        F.col("prev_max").isNull() | (F.col("gmax") > F.col("prev_max"))
+    )
+    return (
+        p.join(F.broadcast(keep), "p_retailprice")
+        .filter(F.col("p_size") == F.col("gmax"))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+_LEXICON = ("redd", "blu", "grean", "widgett", "boltt", "rng", "smal")
+
+
+@query(
+    "q_join_fuzzy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT p_partkey, unnest(string_split(p_name, ' ')) AS token FROM part
+    ), lex AS (
+      SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _LEXICON)}) AS v(term)
+    )
+    SELECT term, token, COUNT(*) AS n_parts
+    FROM toks CROSS JOIN lex
+    WHERE levenshtein(token, term) <= 1
+    GROUP BY term, token
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy lexicon lookup: match part-name tokens against a small
+    list of misspelled terms within Levenshtein distance 1 — the
+    typo-tolerant tag/blocklist join every curation pipeline needs.
+
+    Scale shape: the lexicon side is broadcast, so the cross join is a
+    broadcast-nested-loop over a constant-size inner table — per-row
+    cost O(|lexicon|), no shuffle of the big side, and levenshtein is
+    a JVM builtin. (For a LARGE fuzzy vocabulary the right plan is
+    q_dedup_* style candidate blocking — deletion-neighborhood keys —
+    not this nested loop; this operator covers the small-lexicon
+    case.)"""
+    toks = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", F.explode(F.split("p_name", " ")).alias("token"))
+    )
+    lex = spark.createDataFrame([(t,) for t in _LEXICON], ["term"])
+    return (
+        toks.crossJoin(F.broadcast(lex))
+        .filter(F.levenshtein("token", "term") <= 1)
+        .groupBy("term", "token")
+        .agg(F.count("*").alias("n_parts"))
+    )
