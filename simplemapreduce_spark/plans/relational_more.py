@@ -337,3 +337,49 @@ def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_qty"),
         F.col("O_n"),
     )
+
+
+@query(
+    "q_source_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) + 1 AS BIGINT) AS n_bytes,
+           md5(text || chr(10)) AS content_md5
+    FROM documents
+    """,
+)
+def q_source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary ingestion via Spark's built-in `binaryFile` source
+    — the entry point for image/audio/video corpora (SURVEY.md
+    multimodal scope): each file becomes (path, modificationTime,
+    length, content BINARY) with no decode attempt.
+
+    Round-trip probe: materialize each document as its own file
+    (partitioned text sink, one doc per doc_id directory — a
+    distributed write, no driver-side loop), read the directory back
+    with binaryFile + pathGlobFilter, recover doc_id from the
+    partition path, and fingerprint the raw bytes. The text sink
+    appends one trailing newline per row, so the oracle fingerprints
+    text || chr(10) — byte-exact, utf8 on both engines.
+
+    Scale shape: binaryFile lists and reads files in parallel tasks
+    (one-file-per-task floor); tiny-file corpora at 100 TB want
+    coalesced listing and a packed format (parquet BINARY column, as
+    in plans/extensions.py) — this operator covers the raw-landing
+    ingest step that produces such packed tables."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _scratch_dir("doc_binfiles", sf_dir)
+    d.write.mode("overwrite").partitionBy("doc_id").text(path)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return files.select(
+        F.regexp_extract(F.input_file_name(), r"doc_id=(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -375,3 +375,108 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+_LATE_DELAY_MS = 599_999  # ~10 min, deliberately never second-aligned
+
+
+def _stage_late_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events fixture as THREE parquet files with
+    forced modification-time order: even event_ids, then an EMPTY
+    file, then odd event_ids. A maxFilesPerTrigger=1 file stream
+    replays them as three deterministic micro-batches.
+
+    The empty middle batch matters: Spark filters late input with the
+    PREVIOUS batch's eviction watermark (two-version watermark
+    semantics, SPARK-24634 lineage), so in a two-batch replay the odd
+    rows would never be filtered — the watermark derived from the even
+    batch only becomes the late-event filter one batch later. The
+    empty file advances the batch counter without touching data, so
+    the odd batch is filtered against max(even ts) - delay exactly.
+
+    Re-stages automatically when the fixture changes (the marker
+    records the source file's identity)."""
+    import glob
+    import shutil
+
+    from simplemapreduce_spark.scratch import scratch_dir
+    from simplemapreduce_spark.sources.tables import load_table, table_path
+
+    out = scratch_dir("stream_late", sf_dir)
+    src = table_path(sf_dir, "events")
+    stamp = f"v3:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    marker = os.path.join(out, "_staged")
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events")
+    halves = {
+        1: e.filter(F.col("event_id") % 2 == 0),
+        2: e.filter(F.lit(False)),
+        3: e.filter(F.col("event_id") % 2 == 1),
+    }
+    os.makedirs(out, exist_ok=True)
+    now = time.time()
+    for i, df in halves.items():
+        tmp = f"{out}_b{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(out, f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 1000 * (3 - i), now - 1000 * (3 - i)))
+        shutil.rmtree(tmp)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
+@query(
+    "q_stream_late_drop",
+    oracle="""
+    WITH wm_late AS (
+      SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 599999 MILLISECONDS AS w
+      FROM events WHERE event_id % 2 = 0
+    ), wm_final AS (
+      SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 599999 MILLISECONDS AS w
+      FROM events
+    ), kept AS (
+      SELECT * FROM events
+      WHERE event_id % 2 = 0
+         OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm_late)
+    )
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+    FROM kept GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm_final)
+    """,
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP — the one watermark behavior the
+    complete-mode siblings cannot show. The fixture replays as three
+    micro-batches (even event_ids / empty / odd event_ids). The even
+    batch advances the watermark to max(even ts) - delay; one batch
+    later that value becomes the late-event filter, so odd rows whose
+    hour window closed below it are DROPPED; append mode then emits
+    only windows finalized by the final watermark (max event ts over
+    the whole stream - delay). Both effects are deterministic
+    functions of the fixture and are mirrored exactly in the oracle:
+    late filter = max(even ts) - delay (ms-truncated, as the engine
+    tracks event time in milliseconds), emission = windows whose end
+    cleared the final watermark. Verified value-exact at sf0.001 and
+    sf0.01; the strict/inclusive boundary choice is unobservable on
+    microsecond-granular fixtures (window ends are hour-aligned)."""
+    staged = _stage_late_batches(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    agg = (
+        raw.withColumn("ts", ntz_as_event_time("ts"))
+        .withWatermark("ts", f"{_LATE_DELAY_MS} milliseconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_stream_to_table(agg, "append")
+    return out.select(
+        event_time_to_ntz(F.col("w.start")).alias("window_start"), "event_type", "n"
+    )

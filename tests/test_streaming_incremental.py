@@ -205,3 +205,18 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, multi_file_event
         .collect()
     }
     assert got == want
+
+
+def test_late_drop_actually_drops_and_keeps(spark, sf_dir):
+    """Guard against the vacuous-probe failure mode (ADVICE r2): the
+    late-data query must genuinely drop some rows (result < full
+    window counts) while retaining the on-time batch (>= even rows
+    minus the final still-open windows)."""
+    from simplemapreduce_spark.streaming.windows import q_stream_late_drop
+
+    e = load_table(spark, sf_dir, "events")
+    n_total = e.count()
+    n_even = e.filter(F.col("event_id") % 2 == 0).count()
+    got = q_stream_late_drop(spark, sf_dir).agg(F.sum("n").alias("s")).first()["s"]
+    assert got < n_total          # late odd rows were dropped
+    assert got >= int(0.9 * n_even)  # the on-time half survived
