@@ -151,3 +151,32 @@ def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle_key",
         F.row_number().over(W.orderBy("shuffle_key")).alias("rank"),
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+               AS DOUBLE) / 65536.0
+          < LEAST(1.0, CAST(n_chars AS DOUBLE) / 1000.0)
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: accept a document with
+    probability proportional to its length (capped at 1), using an
+    md5-derived uniform instead of a seeded RNG — the reproducible
+    form of importance sampling a curation pipeline uses to upweight
+    long documents. Membership is a pure function of the row (hash ->
+    [0,1) uniform vs the row's own weight), so the sample is stable
+    under retries, repartitioning, and engine choice, and composes
+    with the unweighted hash sample / split above."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("double")
+        / 65536.0
+    )
+    p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 1000.0)
+    return d.filter(u < p).select("doc_id", "n_chars")

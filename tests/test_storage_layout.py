@@ -87,3 +87,62 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucketed_tables):
         .count()
     )
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_minhash_signature_parquet_checkpoint(spark, sf_dir, tmp_path):
+    """The production shape documented in q_dedup_minhash_lsh: the
+    persisted hashed-shingle/signature table becomes a parquet
+    checkpoint in a multi-stage pipeline. Round-trip the signature
+    subtree through parquet and verify the banding built from the
+    checkpoint is IDENTICAL to the banding built from the in-memory
+    subtree — i.e., the persist is a pure materialization point whose
+    storage backend can swap without touching semantics."""
+    from simplemapreduce_spark.plans.dedup import (
+        doc_hash_arrays,
+        minhash_bands_from_hashes,
+    )
+
+    live = doc_hash_arrays(spark, sf_dir)
+    ckpt_path = str(tmp_path / "minhash_signatures.parquet")
+    live.write.mode("overwrite").parquet(ckpt_path)
+    from_ckpt = spark.read.parquet(ckpt_path)
+
+    def canon(bands):
+        return sorted(
+            (r["doc_id"], r["band"], r["band_hash"])
+            for r in bands.collect()
+        )
+
+    assert canon(minhash_bands_from_hashes(from_ckpt)) == canon(
+        minhash_bands_from_hashes(live)
+    )
+
+
+def test_gc_scratch_removes_stale_keeps_fresh(tmp_path):
+    """session.gc_scratch: age-based sweep of /tmp/smr_scratch — stale
+    round-trip artifacts are removed, fresh ones (a live concurrent
+    session's) are never touched."""
+    import os
+    import time
+
+    from simplemapreduce_spark.session import gc_scratch
+
+    import tempfile
+
+    scratch = os.path.join(tempfile.gettempdir(), "smr_scratch")
+    os.makedirs(scratch, exist_ok=True)
+    stale = os.path.join(scratch, "unit_stale_dir")
+    fresh = os.path.join(scratch, "unit_fresh_dir")
+    os.makedirs(stale, exist_ok=True)
+    os.makedirs(fresh, exist_ok=True)
+    old = time.time() - 48 * 3600
+    os.utime(stale, (old, old))
+    try:
+        removed = gc_scratch(max_age_hours=24.0)
+        assert removed >= 1
+        assert not os.path.exists(stale)
+        assert os.path.exists(fresh)
+    finally:
+        for d in (stale, fresh):
+            if os.path.exists(d):
+                os.rmdir(d)
