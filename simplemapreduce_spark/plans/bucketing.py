@@ -161,3 +161,33 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_recent"),
         F.max("value").alias("max_recent_value"),
     )
+
+
+def zorder_value(a, b, bits: int = 16):
+    """Morton (Z-order) interleaving of two min-max-normalized
+    dimensions into one sort key. Writing a table range-partitioned
+    and sorted by this key clusters rows so that parquet row-group
+    min/max stats are selective on EITHER dimension — linear sort
+    orders perfectly on one column and not at all on the second;
+    Z-order trades a little of each for pruning power on both (the
+    multi-dimensional clustering lever behind Delta/Iceberg OPTIMIZE
+    ZORDER, built here from plain built-in expressions).
+
+    ``a`` and ``b`` must already be normalized to [0, 2^bits).
+    The interleave is a static 2*bits-term expression — JVM-side,
+    codegen-friendly, no UDF."""
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(one), 2 * i))
+    return z
+
+
+def normalize_to_bits(col, lo, hi, bits: int = 16):
+    """Min-max scale a numeric column to integer [0, 2^bits) (bounds
+    passed in, computed once per write job)."""
+    span = max(hi - lo, 1e-12)
+    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(span) * ((1 << bits) - 1)
+    return F.least(F.lit((1 << bits) - 1), F.greatest(F.lit(0), scaled.cast("long")))

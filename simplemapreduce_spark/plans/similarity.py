@@ -458,3 +458,153 @@ def q_sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_trunc",
         (F.col("top1_full") == F.col("top1_trunc")).alias("agree"),
     )
+
+
+M_SUB = 4       # PQ subspaces (64-dim -> 4 x 16)
+K_PQ = 16       # centroids per sub-codebook
+PQ_RERANK = 4   # exact re-rank pool = PQ_RERANK * TOP_K
+
+
+@query("q_sim_pq_topk")  # rows-only: PQ codebooks are k-means-trained (iterative)
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011): split each
+    64-dim vector into {M} subvectors, k-means a {K}-entry codebook
+    per subspace, store each corpus vector as {M} small codes, and
+    answer queries by asymmetric distance computation (ADC) — the
+    query precomputes a {M}x{K} table of subspace distances and every
+    candidate scores with {M} table lookups instead of a 64-dim dot
+    product. A {R}x exact-cosine re-rank of the PQ shortlist restores
+    precision at the top (the standard IVF-PQ refine step).
+
+    Scale shape — why PQ is THE billion-vector format: the scored
+    payload per corpus row is {M} bytes of codes, not 64 doubles
+    (64x compression), the ADC scan is a pure row-local map over a
+    broadcast table (zero corpus shuffle), and only the shortlist
+    (queries x {R}k rows) ever touches full vectors again. Training
+    reuses the distributed Lloyd's module (operators/kmeans.py) per
+    subspace; iterative training has no one-SQL oracle, so the entry
+    is rows-only with recall-vs-exact asserted in
+    tests/test_quality_bounds.py.""".format(M=M_SUB, K=K_PQ, R=PQ_RERANK)
+    from simplemapreduce_spark.operators.kmeans import kmeans_fit
+
+    v = _vectors(spark, sf_dir)
+    # PQ quantizes L2, the baseline ranks by cosine: unit-normalizing
+    # first makes them the same ordering (d2 = 2 - 2cos on the unit
+    # sphere), so the ADC shortlist optimizes the metric the re-rank
+    # and the exact baseline use. Training, encoding, and the query
+    # tables all see normalized vectors; the final cosine re-rank is
+    # scale-invariant either way.
+    norm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    vn = v.select("vec_id", F.transform("e", lambda x: x / norm).alias("e"))
+    dim_sub = 64 // M_SUB
+
+    # Train one codebook per subspace (k x dim_sub literals each).
+    cb_rows = []
+    for m in range(M_SUB):
+        sub = vn.select("vec_id", F.slice("e", m * dim_sub + 1, dim_sub).alias("e"))
+        cent = kmeans_fit(sub, k=K_PQ, iters=2)
+        cb_rows.extend((m, r["cid"], r["ce"]) for r in cent.collect())
+    cb = spark.createDataFrame(cb_rows, "m int, cid bigint, ce array<double>")
+    # One broadcast row: codebooks[m+1] = cid-ordered list of centroids.
+    books = (
+        cb.groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cs"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cs"))),
+                lambda s: s["cs"],
+            ).alias("books")
+        )
+    )
+
+    def _sub(col, m):
+        return F.slice(col, m * dim_sub + 1, dim_sub)
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # Encode the corpus: per subspace, row-local argmin over the
+    # broadcast codebook, rounded like operators/kmeans.assign_cells so
+    # partition-order float jitter cannot flip a code. The stored code
+    # is the POSITION in the cid-ordered codebook (k-means cids are
+    # seed vec_ids, not dense), so ADC table lookups index directly;
+    # ties -> lowest position via the (d2, pos) array_sort.
+    def code_expr(m):
+        scored = F.transform(
+            F.element_at("books", m + 1),
+            lambda c, i: F.struct(
+                F.round(_d2(_sub(F.col("e"), m), c["ce"]), 8).alias("d2"),
+                i.alias("pos"),
+            ),
+        )
+        return F.element_at(F.array_sort(scored), 1)["pos"]
+
+    encoded = (
+        vn.crossJoin(F.broadcast(books))
+        .select(
+            "vec_id",
+            F.array(*[code_expr(m) for m in range(M_SUB)]).alias("codes"),
+        )
+    )
+
+    # ADC tables: queries carry tab[m+1][pos+1] = d2(query sub, centroid).
+    # NB: the lambda must be unary — pyspark dispatches on lambda arity
+    # and would feed the array INDEX into a second parameter (even a
+    # defaulted one), silently scrambling the subspace offsets.
+    def tab_for(m):
+        return F.transform(
+            F.element_at("books", m + 1),
+            lambda c: F.round(_d2(_sub(F.col("e"), m), c["ce"]), 8),
+        )
+
+    q = vn.filter(F.col("vec_id") < N_QUERIES)
+    qtab = (
+        q.crossJoin(F.broadcast(books))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.array(*[tab_for(m) for m in range(M_SUB)]).alias("tab"),
+        )
+    )
+
+    # ADC scan: M table lookups per (query, candidate) — row-local.
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("tab"), (m + 1).cast("int")),
+            (F.element_at(F.col("codes"), (m + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    shortlist_w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    shortlist = (
+        encoded.crossJoin(F.broadcast(qtab.select("query_id", "tab")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            approx.alias("approx_d2"),
+        )
+        .withColumn("srk", F.row_number().over(shortlist_w))
+        .filter(F.col("srk") <= PQ_RERANK * TOP_K)
+    )
+
+    # Exact re-rank of the shortlist with true vectors.
+    rerank_w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        shortlist.join(v, shortlist["neighbor_id"] == v["vec_id"])
+        .join(F.broadcast(qtab.select("query_id", "qe")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= TOP_K)
+    )

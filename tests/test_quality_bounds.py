@@ -165,3 +165,26 @@ def test_kmeans_deterministic_across_reruns(spark, sf_dir):
         for r in assign_cells(v, kmeans_fit(v, 8, 2)).select("vec_id", "cell").collect()
     }
     assert a == b
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """PQ+ADC with exact re-rank must recover a meaningful fraction of
+    the true cosine top-k (uniform random embeddings are the
+    quantization-hostile worst case — the bound is deliberately
+    modest; structured/clustered corpora do far better), and the
+    output contract must hold: exactly k ranked rows per query."""
+    from simplemapreduce_spark.plans.similarity import N_QUERIES, TOP_K
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.QUERIES["q_sim_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    pq_rows = catalog.QUERIES["q_sim_pq_topk"](spark, sf_dir).collect()
+    pq = {(r["query_id"], r["neighbor_id"]) for r in pq_rows}
+    assert len(pq_rows) == N_QUERIES * TOP_K
+    per_q = {}
+    for qid, n in pq:
+        per_q.setdefault(qid, set()).add(n)
+    assert set(per_q) == {r[0] for r in exact}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.2, f"PQ recall {recall:.2f} < 0.2"

@@ -146,3 +146,72 @@ def test_gc_scratch_removes_stale_keeps_fresh(tmp_path):
         for d in (stale, fresh):
             if os.path.exists(d):
                 os.rmdir(d)
+
+
+def test_zorder_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must make parquet min/max stats selective on
+    BOTH dimensions: a box filter on either column alone should touch
+    fewer files than under a single-column linear sort (which prunes
+    perfectly on its sort column and not at all on the other)."""
+    import pyarrow.parquet as pq
+
+    from simplemapreduce_spark.plans.bucketing import normalize_to_bits, zorder_value
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    bounds = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    klo, khi, plo, phi = (float(v) for v in bounds)
+    z = zorder_value(
+        normalize_to_bits(F.col("o_custkey"), klo, khi),
+        normalize_to_bits(F.col("o_totalprice"), plo, phi),
+    )
+    n_files = 16
+    zdir = str(tmp_path / "zorder")
+    ldir = str(tmp_path / "linear")
+    (
+        o.withColumn("z", z)
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(zdir)
+    )
+    (
+        o.repartitionByRange(n_files, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def candidate_files(d, column, lo, hi):
+        hits = 0
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            overlaps = False
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == column and col.statistics:
+                        st = col.statistics
+                        if st.min <= hi and st.max >= lo:
+                            overlaps = True
+            if overlaps:
+                hits += 1
+        return hits
+
+    # Box on the NON-sort dimension of the linear layout: an eighth of
+    # the price range. Linear-by-custkey cannot prune it at all.
+    pwidth = (phi - plo) / 8
+    z_price = candidate_files(zdir, "o_totalprice", plo, plo + pwidth)
+    lin_price = candidate_files(ldir, "o_totalprice", plo, plo + pwidth)
+    assert lin_price == n_files  # linear layout: every file spans all prices
+    assert z_price < lin_price, (z_price, lin_price)
+
+    # The Z layout still prunes on the other dimension too.
+    kwidth = (khi - klo) / 8
+    z_key = candidate_files(zdir, "o_custkey", klo, klo + kwidth)
+    assert z_key < n_files, z_key
