@@ -495,3 +495,51 @@ def q_scalar_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("uid")).alias("uid"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "q_scalar_try",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority,
+             TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+             TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+             TRY_CAST(o_orderpriority AS TIMESTAMP) AS bad_ts,
+             o_totalprice / NULLIF(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) - 1, 0)
+               AS safe_div
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(prio_num) AS prio_num,
+           COUNT(bad_cast) AS n_bad_cast_ok,
+           COUNT(bad_ts) AS n_bad_ts_ok,
+           COUNT(*) - COUNT(safe_div) AS n_div_null,
+           MAX(safe_div) AS max_safe_div
+    FROM t GROUP BY o_orderpriority
+    """,
+)
+def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family (try_cast / try_divide /
+    try_to_timestamp): malformed input yields NULL instead of a task
+    failure — the semantics a 100 TB ingest needs, where one bad row
+    must not kill a stage. Spark's try_* are the ANSI-mode-safe forms;
+    DuckDB mirrors them with TRY_CAST and NULLIF-guarded division
+    (division by zero nulls on both engines under this rewrite).
+    Priority '1-URGENT' exercises the divide-by-zero arm (1-1=0), the
+    full string exercises failed int/timestamp casts."""
+    o = load_table(spark, sf_dir, "orders")
+    prio_num = F.substring("o_orderpriority", 1, 1).try_cast("int")
+    t = o.select(
+        "o_orderpriority",
+        prio_num.alias("prio_num"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.col("o_orderpriority").try_cast("timestamp").alias("bad_ts"),
+        F.try_divide("o_totalprice", prio_num - 1).alias("safe_div"),
+    )
+    return t.groupBy("o_orderpriority").agg(
+        F.max("prio_num").alias("prio_num"),
+        F.count("bad_cast").alias("n_bad_cast_ok"),
+        F.count("bad_ts").alias("n_bad_ts_ok"),
+        (F.count("*") - F.count("safe_div")).alias("n_div_null"),
+        F.max("safe_div").alias("max_safe_div"),
+    )

@@ -224,3 +224,49 @@ def q_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         F.lead("o_totalprice", 2).over(wo).alias("price_after_next"),
     )
+
+
+@query(
+    "q_window_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_types_seen
+    FROM flagged
+    """,
+)
+def q_window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — which Spark (and most
+    engines) cannot express directly — via the standard two-window
+    rewrite: flag each (user, type)'s first occurrence, then
+    cumulative-sum the flags along the user's timeline. Both windows
+    partition on user_id, so the whole query is one shuffle; the
+    rewrite is exact, not approximate, and the same shape computes
+    any 'distinct so far' feature (new URLs seen, vocabulary growth)
+    at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w_cum).cast("long").alias("n_types_seen"),
+    )
