@@ -480,3 +480,61 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         event_time_to_ntz(F.col("w.start")).alias("window_start"), "event_type", "n"
     )
+
+
+@query(
+    "q_stream_update_mode",
+    oracle="""
+    WITH wm_late AS (
+      SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 599999 MILLISECONDS AS w
+      FROM events WHERE event_id % 2 = 0
+    ), evens AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+    ), surviving_odds AS (
+      SELECT * FROM events
+      WHERE event_id % 2 = 1
+        AND date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm_late)
+    ), merged AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+      FROM (SELECT ts, event_type FROM events WHERE event_id % 2 = 0
+            UNION ALL SELECT ts, event_type FROM surviving_odds)
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n FROM evens
+    UNION ALL
+    SELECT m.window_start, m.event_type, m.n
+    FROM merged m
+    WHERE EXISTS (
+      SELECT 1 FROM surviving_odds o
+      WHERE date_trunc('hour', o.ts) = m.window_start
+        AND o.event_type = m.event_type
+    )
+    """,
+)
+def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode over the same three-batch late-data replay as
+    q_stream_late_drop: each micro-batch emits only the groups whose
+    aggregate CHANGED in that batch, so the sink accumulates a history
+    of partial results — (window, type) groups touched by the even
+    batch appear once with even-only counts, groups also touched by a
+    surviving (non-late) odd row appear AGAIN with the merged count,
+    and late-dropped odds update nothing. That whole multiset is a
+    deterministic function of the fixture, mirrored row-for-row
+    (including the duplicates) in the oracle."""
+    staged = _stage_late_batches(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    agg = (
+        raw.withColumn("ts", ntz_as_event_time("ts"))
+        .withWatermark("ts", f"{_LATE_DELAY_MS} milliseconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_stream_to_table(agg, "update")
+    return out.select(
+        event_time_to_ntz(F.col("w.start")).alias("window_start"), "event_type", "n"
+    )
