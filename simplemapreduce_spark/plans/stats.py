@@ -71,10 +71,11 @@ def q_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard behavioral-diversity feature (0 = single-action bots,
     high = diverse engagement).
 
-    Scale shape: one groupBy(user, type) shuffle; the window total and
-    the final per-user aggregate reuse the same user_id partitioning,
-    so no second full shuffle. Entropy terms are a per-row projection;
-    per-user term counts are bounded by the event-type vocabulary."""
+    Scale shape: one groupBy(user, type) shuffle over the raw events;
+    the window total and the final per-user aggregate then shuffle the
+    ALREADY-AGGREGATED table (at most |users| x |event types| rows —
+    vocabulary-bounded, orders of magnitude smaller than the input).
+    Entropy terms are a per-row projection."""
     e = load_table(spark, sf_dir, "events")
     c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     tot = F.sum("n").over(W.partitionBy("user_id"))

@@ -247,23 +247,28 @@ def q_window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running COUNT(DISTINCT) over a window — which Spark (and most
     engines) cannot express directly — via the standard two-window
     rewrite: flag each (user, type)'s first occurrence, then
-    cumulative-sum the flags along the user's timeline. Both windows
-    partition on user_id, so the whole query is one shuffle; the
-    rewrite is exact, not approximate, and the same shape computes
-    any 'distinct so far' feature (new URLs seen, vocabulary growth)
-    at 100 TB."""
+    cumulative-sum the flags along the user's timeline. BOTH windows
+    deliberately partition on user_id alone (the first-occurrence flag
+    sorts by (type, ts) within the user instead of partitioning by
+    (user, type)), so Catalyst plans ONE Exchange with two sorts —
+    plan-asserted in tests/test_plans.py. The rewrite is exact, not
+    approximate, and the same shape computes any 'distinct so far'
+    feature (new URLs seen, vocabulary growth) at 100 TB."""
     e = load_table(spark, sf_dir, "events")
-    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_first = W.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
     w_cum = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    prev_type = F.lag("event_type").over(w_first)
     flagged = e.select(
         "event_id",
         "user_id",
         "ts",
-        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+        F.when(
+            prev_type.isNull() | (prev_type != F.col("event_type")), 1
+        ).otherwise(0).alias("first_seen"),
     )
     return flagged.select(
         "event_id",

@@ -307,3 +307,16 @@ def test_observe_metrics_match_aggregate(spark, sf_dir):
     assert seen_rows == want[0]
     assert str(seen_price) == str(want[1])
     assert sum(r.n for r in rows) == want[0]
+
+
+def test_cumulative_distinct_single_shuffle(spark, sf_dir):
+    """The running-distinct rewrite partitions both windows on user_id
+    alone, so the physical plan must contain exactly ONE shuffle
+    (one Exchange, two Sorts over it)."""
+    plan = (
+        catalog.QUERIES["q_window_cumulative_distinct"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
