@@ -543,3 +543,34 @@ def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count("safe_div")).alias("n_div_null"),
         F.max("safe_div").alias("max_safe_div"),
     )
+
+
+@query(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    WHERE o_totalprice >= 50000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql named-parameter binding): values
+    bind as literals AFTER parsing, so user input can never splice
+    into the query text — the injection-safe API a service exposes.
+    Catalyst still constant-folds and pushes the bound predicates to
+    the scan like hand-written literals."""
+    from simplemapreduce_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 50000.0, "status": "F"},
+    )

@@ -116,3 +116,12 @@ def test_bigram_lm_scores_are_finite_and_positive(spark, sf_dir):
         assert r["cross_entropy"] is not None
         assert r["cross_entropy"] >= -1e-9
         assert math.isfinite(r["cross_entropy"])
+
+
+def test_fuzzy_join_is_not_vacuous(spark, sf_dir):
+    """Fixture-regeneration guard (the ADVICE r2 lesson): the typo
+    lexicon must actually match part-name tokens — an empty result
+    would make the oracle comparison pass while verifying nothing."""
+    rows = catalog.QUERIES["q_join_fuzzy"](spark, sf_dir).collect()
+    assert rows, "fuzzy lexicon matched nothing — update _LEXICON for the new fixture vocabulary"
+    assert sum(r["n_parts"] for r in rows) >= 3
