@@ -208,3 +208,83 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(ensure_parallelism(load_table(spark, sf_dir, "documents")))
     return resize_media(media)
+
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 64
+_CMS_TOP = 10
+
+
+@query(
+    "q_sketch_count_min",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS exact_n FROM toks GROUP BY token
+    ), top AS (
+      SELECT token, exact_n FROM counts ORDER BY exact_n DESC, token LIMIT {_CMS_TOP}
+    ), rows_i AS (
+      SELECT unnest(range(1, {_CMS_DEPTH} + 1)) AS i
+    ), cms AS (
+      SELECT i,
+             CAST('0x' || substr(md5(i || ':' || token), 1, 8) AS BIGINT) % {_CMS_WIDTH} AS h,
+             COUNT(*) AS c
+      FROM toks CROSS JOIN rows_i
+      GROUP BY 1, 2
+    )
+    SELECT t.token, t.exact_n, CAST(MIN(cms.c) AS BIGINT) AS cms_estimate
+    FROM top t
+    CROSS JOIN rows_i
+    JOIN cms ON cms.i = rows_i.i
+           AND cms.h = CAST('0x' || substr(md5(rows_i.i || ':' || t.token), 1, 8) AS BIGINT) % {_CMS_WIDTH}
+    GROUP BY t.token, t.exact_n
+    """,
+)
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built AS A TABLE: {D} hash rows x {W} buckets
+    of token counts over the corpus, point-queried for the top-{T}
+    tokens (estimate = min over rows of the hashed bucket's count —
+    always >= the exact count, asserted in test_quality_bounds).
+
+    The sketch-as-relation formulation is the distributed-native CMS:
+    building it is one groupBy over (row, bucket) — {D}x{W} cells of
+    partial-aggregated state regardless of corpus size — and merging
+    sketches across corpora is a UNION + SUM of the same table, the
+    property that makes CMS the streaming heavy-hitter structure.
+    Deterministic md5 hash family means both engines build the
+    identical sketch, so unlike opaque sketch binaries this one is
+    exactly DuckDB-oracled."""
+    d = load_table(spark, sf_dir, "documents")
+    from simplemapreduce_spark.functions.text import tokens
+
+    toks = d.select(F.explode(tokens("text")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
+    top = counts.orderBy(F.desc("exact_n"), "token").limit(_CMS_TOP)
+
+    def bucket(i_col, token_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(i_col.cast("string"), F.lit(":"), token_col)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        )
+
+    rows_i = spark.range(1, _CMS_DEPTH + 1).select(F.col("id").cast("int").alias("i"))
+    cms = (
+        toks.crossJoin(F.broadcast(rows_i))
+        .select("i", bucket(F.col("i"), F.col("token")).alias("h"))
+        .groupBy("i", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = top.crossJoin(F.broadcast(rows_i)).select(
+        "token", "exact_n", "i", bucket(F.col("i"), F.col("token")).alias("h")
+    )
+    return (
+        probes.join(cms, ["i", "h"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+    )

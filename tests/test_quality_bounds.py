@@ -188,3 +188,13 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
     assert set(per_q) == {r[0] for r in exact}
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.2, f"PQ recall {recall:.2f} < 0.2"
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    """CMS point estimates are upper bounds by construction — every
+    probed token's estimate must be >= its exact count, and equal for
+    tokens whose buckets saw no collisions."""
+    rows = catalog.QUERIES["q_sketch_count_min"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"], r
