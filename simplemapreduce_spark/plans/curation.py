@@ -298,8 +298,10 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the batch-shape planning statistic (how many docs fit which
     context windows, where padding waste concentrates). One row-local
     tokenize + one aggregation; partial aggregation makes the shuffle
-    carry only bucket counts at any scale."""
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    carry only bucket counts at any scale. No ensure_parallelism: the
+    tokenize-and-count map is cheaper than the repartition it would
+    buy (the q_text_token_stats regression class, VERDICT r2)."""
+    d = load_table(spark, sf_dir, "documents")
     t = d.select(F.size(tokens("text")).cast("long").alias("n"))
     return (
         t.groupBy(F.expr(f"(n div {LENGTH_BUCKET}) * {LENGTH_BUCKET}").alias("bucket_lo"))

@@ -172,3 +172,77 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "token")
         .agg(F.count("*").alias("n_parts"))
     )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_n,
+           CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_n,
+           CAST(ROUND(CAST(MAX(n) AS DOUBLE) / quantile_disc(n, 0.5), 6) AS DOUBLE)
+             AS max_over_median
+    FROM per_key
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnosis: per-key cardinalities reduced to
+    the numbers that decide a partitioning strategy — max, median, p99
+    and the max/median ratio (≈1 → uniform, >>1 → salt or AQE-split
+    the hot keys). This is the observability step BEFORE reaching for
+    q_join_salted_skew / q_agg_distinct_salted; at 100 TB you run it
+    on a sample or as a by-product of an existing aggregation.
+
+    exact percentiles via approx_percentile at full accuracy (same
+    exactness argument as q_approx_quantiles); two-level aggregate:
+    the per-key groupBy shuffles partial counts, the final reduction
+    is a single-row summary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    p50 = F.expr("approx_percentile(n, 0.5, 1000000)")
+    p99 = F.expr("approx_percentile(n, 0.99, 1000000)")
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+        p50.cast("long").alias("p50_n"),
+        p99.cast("long").alias("p99_n"),
+        F.round(F.max("n").cast("double") / p50, 6).alias("max_over_median"),
+    )
+
+
+@query(
+    "q_events_anomaly",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(ROUND((e.value - s.mu) / s.sigma, 4) AS DOUBLE) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE ABS((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: two-pass
+    mean/stddev + broadcast of the tiny per-type stats back onto the
+    stream — the standard anomaly pre-filter. The z arithmetic is the
+    same expression tree on both engines (rounded at the boundary);
+    the stats side is vocabulary-sized so the join broadcasts and the
+    detector is a single scan at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+    )
