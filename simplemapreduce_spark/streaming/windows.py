@@ -538,3 +538,34 @@ def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         event_time_to_ntz(F.col("w.start")).alias("window_start"), "event_type", "n"
     )
+
+
+@query(
+    "q_stream_dedup_watermarked",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    holds a (key -> first event time) entry only until the watermark
+    passes it plus the delay, then evicts — the production form whose
+    state is O(keys active in the window), not O(all keys ever). With
+    the delay set beyond the fixture's 30-day span nothing evicts, so
+    the result is exactly the unbounded dedup (and oracle-checkable);
+    shrinking the delay is purely a state-size/recall dial — the
+    mechanics under test (per-key state, event-time tracking,
+    watermark-driven eviction) are the same ones running at scale.
+    Note the API REQUIRES withWatermark upstream, unlike plain
+    dropDuplicates."""
+    deduped = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "45 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    out = run_stream_to_table(deduped, "append")
+    return out.groupBy("event_type").agg(
+        F.count("user_id").alias("n_distinct_users")
+    )
