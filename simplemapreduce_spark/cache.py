@@ -19,30 +19,56 @@ process only ever holds entries for the live application.
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_MEMO: dict[tuple[str, str], DataFrame] = {}
+_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def table_stamp(sf_dir: str, name: str) -> str:
+    """Identity stamp of a source parquet file (mtime+size) — fixtures
+    regenerate in place between driver rounds, so a memo entry must die
+    with the file it was computed from (same guard as the streaming
+    late-batch staging)."""
+    from simplemapreduce_spark.sources.tables import table_path
+
+    try:
+        st = os.stat(table_path(sf_dir, name))
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "nostat"
 
 
 def memo_persist(
     df: DataFrame,
     key: str,
+    stamp: str = "",
     level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
-    """Persist ``df`` once per (application, key); reuse on repeat calls.
+    """Persist ``df`` once per (application, key, stamp); reuse on
+    repeat calls.
 
     ``key`` must uniquely name the logical subtree INCLUDING its inputs
     (callers embed ``sf_dir``), since two scale factors produce
-    different plans.
+    different plans; ``stamp`` carries the source-file identity
+    (``table_stamp``) so an in-place fixture rewrite invalidates the
+    entry — the superseded entry is unpersisted, not just dropped.
     """
     app = df.sparkSession.sparkContext.applicationId
-    hit = _MEMO.get((app, key))
+    hit = _MEMO.get((app, key, stamp))
     if hit is not None:
         return hit
-    for stale in [k for k in _MEMO if k[0] != app]:
-        del _MEMO[stale]
-    _MEMO[(app, key)] = df.persist(level)
+    for old in [k for k in _MEMO if k[0] != app]:
+        del _MEMO[old]
+    for old in [k for k in _MEMO if k[0] == app and k[1] == key and k[2] != stamp]:
+        try:
+            _MEMO[old].unpersist()
+        except Exception:
+            pass
+        del _MEMO[old]
+    _MEMO[(app, key, stamp)] = df.persist(level)
     return df
 
 

@@ -257,9 +257,17 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical sketch, so unlike opaque sketch binaries this one is
     exactly DuckDB-oracled."""
     d = load_table(spark, sf_dir, "documents")
+    from simplemapreduce_spark.cache import memo_persist, table_stamp
     from simplemapreduce_spark.functions.text import tokens
 
-    toks = d.select(F.explode(tokens("text")).alias("token"))
+    # The token explosion feeds both the exact-count branch and the
+    # sketch build — persist it once (fixture-stamped) instead of
+    # scanning + exploding the corpus twice per invocation.
+    toks = memo_persist(
+        d.select(F.explode(tokens("text")).alias("token")),
+        f"extensions.cms_toks:{sf_dir}",
+        table_stamp(sf_dir, "documents"),
+    )
     counts = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
     top = counts.orderBy(F.desc("exact_n"), "token").limit(_CMS_TOP)
 

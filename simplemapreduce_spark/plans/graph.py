@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
-from simplemapreduce_spark.cache import memo_persist
+from simplemapreduce_spark.cache import memo_persist, table_stamp
 from simplemapreduce_spark.sources.tables import load_table
 
 _N_NATIONS = 25  # TPC-H nation is a fixed 25-row table at every SF
@@ -96,7 +96,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact-fact join — persist so the 3 iterations don't recompute it
     # (memoized per session: repeat invocations reuse one cache entry).
     )
-    probs = memo_persist(probs, f"graph.pagerank_probs:{sf_dir}")
+    probs = memo_persist(
+        probs, f"graph.pagerank_probs:{sf_dir}", table_stamp(sf_dir, "lineitem")
+    )
     nodes = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )

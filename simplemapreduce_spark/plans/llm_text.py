@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
-from simplemapreduce_spark.cache import memo_persist
+from simplemapreduce_spark.cache import memo_persist, table_stamp
 from simplemapreduce_spark.functions.text import tokens
 from simplemapreduce_spark.sources.tables import ensure_parallelism, load_table
 
@@ -265,6 +265,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"), F.first("doc_len").alias("doc_len")
         ),
         f"llm_text.tfidf_tf:{sf_dir}",
+        table_stamp(sf_dir, "documents"),
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("n_docs"))
     n = d.agg(F.count("*").alias("n_total"))
@@ -330,10 +331,10 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = db.groupBy("bg").agg(F.count("*").alias("cnt"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
     uc = bc.groupBy(w1.alias("w1")).agg(F.sum("cnt").alias("c1"))
-    scored = (
-        db.join(F.broadcast(bc), "bg")
-        .join(F.broadcast(uc), w1 == F.col("w1"))
-    )
+    # No broadcast hints: the bigram-count table is corpus-vocabulary
+    # sized (unbounded at 100 TB) — AQE broadcasts when it measures
+    # small and falls back to a shuffle join when it does not.
+    scored = db.join(bc, "bg").join(uc, w1 == F.col("w1"))
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(

@@ -113,14 +113,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS prev_type
       FROM events
     ), changes AS (
-      SELECT user_id, event_type, ts AS valid_from
+      SELECT user_id, event_type, ts AS valid_from, event_id
       FROM ordered
       WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id, event_type, valid_from,
-           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
              AS valid_to,
-           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
                 AS BIGINT) AS version
     FROM changes
     """,
@@ -137,16 +137,17 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     that partitioning, so Catalyst runs the three window passes
     without re-shuffling. At 100 TB the per-user partitions are
     bounded by per-user event counts — the same skew profile as any
-    sessionization. Ties break on event_id (unique), making the
-    version sequence deterministic."""
+    sessionization. Ties break on event_id (unique) in BOTH windows —
+    same-instant change rows would otherwise order nondeterministically
+    — making the version sequence deterministic."""
     e = load_table(spark, sf_dir, "events")
     w_ev = W.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         e.withColumn("prev_type", F.lag("event_type").over(w_ev))
         .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
-        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
     )
-    w_ver = W.partitionBy("user_id").orderBy("valid_from")
+    w_ver = W.partitionBy("user_id").orderBy("valid_from", "event_id")
     return changes.select(
         "user_id",
         "event_type",

@@ -343,7 +343,7 @@ def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_source_binary_files",
     oracle="""
     SELECT doc_id,
-           CAST(length(text) + 1 AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
            md5(text || chr(10)) AS content_md5
     FROM documents
     """,

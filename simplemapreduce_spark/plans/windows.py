@@ -262,12 +262,17 @@ def q_window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     prev_type = F.lag("event_type").over(w_first)
+    # row_number()==1 detects the partition's first row; the null-safe
+    # compare handles NULL event_type VALUES (a NULL prev would
+    # otherwise read as "first row" and over-flag every NULL-type row).
     flagged = e.select(
         "event_id",
         "user_id",
         "ts",
         F.when(
-            prev_type.isNull() | (prev_type != F.col("event_type")), 1
+            (F.row_number().over(w_first) == 1)
+            | ~prev_type.eqNullSafe(F.col("event_type")),
+            1,
         ).otherwise(0).alias("first_seen"),
     )
     return flagged.select(

@@ -23,6 +23,9 @@ def spark():
     # session startup dominates; correctness is independent of N.
     s = get_spark("smr-tests", cpus="8")
     yield s
+    from simplemapreduce_spark.cache import clear_memo
+
+    clear_memo()
 
 
 @pytest.fixture(scope="session")
