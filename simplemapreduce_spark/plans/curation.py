@@ -405,3 +405,53 @@ def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("domain")
         .agg(F.count("*").alias("n_urls"), F.countDistinct("doc_id").alias("n_docs"))
     )
+
+
+@query(
+    "q_pipeline_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             (n_chars BETWEEN 100 AND 5000) AS len_ok,
+             (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                / GREATEST(length(text), 1)) < 0.3 AS digit_ok,
+             len({_SQL_TOKENS}) >= 5 AS tokens_ok
+      FROM documents
+    )
+    SELECT 'len' AS rule, COUNT(*) FILTER (WHERE NOT len_ok) AS n_failing FROM scored
+    UNION ALL
+    SELECT 'digit' AS rule, COUNT(*) FILTER (WHERE NOT digit_ok) FROM scored
+    UNION ALL
+    SELECT 'tokens' AS rule, COUNT(*) FILTER (WHERE NOT tokens_ok) FROM scored
+    UNION ALL
+    SELECT 'kept' AS rule, COUNT(*) FILTER (WHERE len_ok AND digit_ok AND tokens_ok)
+    FROM scored
+    """,
+)
+def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel with per-rule drop attribution: every rule
+    evaluated on every document in ONE scan (conditional counts, then
+    a 4-row unpivot of the summary), so the report answers 'which rule
+    costs how much data' without re-running the pipeline per rule —
+    the observability contract of a curation funnel. Rules are
+    independent booleans (a doc can fail several), 'kept' is their
+    conjunction; the filtered corpus itself is q_domain_caps /
+    q_data_mixture territory."""
+    d = load_table(spark, sf_dir, "documents")
+    text_len = F.greatest(F.length("text"), F.lit(1))
+    digit_ratio = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double") / text_len
+    scored = d.select(
+        F.col("n_chars").between(100, 5000).alias("len_ok"),
+        (digit_ratio < 0.3).alias("digit_ok"),
+        (F.size(tokens("text")) >= 5).alias("tokens_ok"),
+    )
+    summary = scored.agg(
+        F.count_if(~F.col("len_ok")).alias("len"),
+        F.count_if(~F.col("digit_ok")).alias("digit"),
+        F.count_if(~F.col("tokens_ok")).alias("tokens"),
+        F.count_if(
+            F.col("len_ok") & F.col("digit_ok") & F.col("tokens_ok")
+        ).alias("kept"),
+    )
+    unpivoted = summary.unpivot([], ["len", "digit", "tokens", "kept"], "rule", "n_failing")
+    return unpivoted.select("rule", F.col("n_failing").cast("long"))

@@ -574,3 +574,35 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 50000.0, "status": "F"},
     )
+
+
+@query(
+    "q_sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderstatus
+    HAVING COUNT(*) > 5
+    """,
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>, Spark 4): the linear FROM -> WHERE ->
+    AGGREGATE -> WHERE dataflow form of a filter + group + having
+    query. Same Catalyst plan as the nested form — the feature under
+    test is the parser surface, so the oracle is the equivalent
+    classic SQL on DuckDB."""
+    from simplemapreduce_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 100000
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+           GROUP BY o_orderstatus
+        |> WHERE n > 5
+        """
+    )
