@@ -341,3 +341,42 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(-F.log2(F.col("cnt").cast("double") / F.col("c1"))), 6
         ).alias("cross_entropy"),
     )
+
+
+@query(
+    "q_text_bpe_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(token)),
+                    i -> substr(token, CAST(i AS INT), 2))) AS pair
+      FROM toks WHERE length(token) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 15
+    """,
+)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner statistic of one BPE tokenizer-training iteration:
+    adjacent symbol-pair frequencies across the word-pretokenized
+    corpus, top-ranked (deterministic ties on the pair itself). The
+    full training loop is this query -> take the argmax pair -> merge
+    it into one symbol (a row-local map) -> recount, iterated; each
+    round's shuffle carries only (pair, count) partials — vocabulary-
+    sized — which is what makes BPE training feasible as a sequence
+    of Spark aggregations at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    pair_arr = F.expr(
+        "transform(sequence(1, char_length(token) - 1), i -> substring(token, i, 2))"
+    )
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") >= 2)
+        .select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(15)
+    )
