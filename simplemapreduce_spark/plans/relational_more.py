@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from simplemapreduce_spark.catalog import query
 from simplemapreduce_spark.plans.relational_ext import _scratch_dir
@@ -411,4 +412,72 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n")
+    )
+
+
+@query(
+    "q_source_csv_malformed",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE n_nationkey % 5 <> 0) AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (WHERE n_nationkey % 5 = 0) AS BIGINT) AS n_bad,
+           CAST(SUM(n_regionkey) FILTER (WHERE n_nationkey % 5 <> 0) AS BIGINT)
+             AS sum_region_good,
+           CAST(MAX(n_nationkey) FILTER (WHERE n_nationkey % 5 <> 0) AS BIGINT)
+             AS max_good_key
+    FROM nation
+    """,
+)
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness of the CSV source: every 5th nation
+    row is corrupted deterministically (non-numeric key column) before
+    writing; the PERMISSIVE read parses good rows, NULL-fills the bad
+    ones, and captures their raw text in the corrupt-record column —
+    one bad row must never fail the scan (the 100 TB ingest contract;
+    FAILFAST is the opt-in strict mode). The oracle reconstructs the
+    same good/bad split from the corruption rule, so the permissive
+    parser's classification is value-checked, not assumed.
+
+    Two documented CSV-parser quirks are load-bearing here: a query
+    may not reference ONLY the corrupt-record column, AND column
+    pruning skips parsing (and therefore corruption-detecting) any
+    field the query never reads — so the aggregate deliberately
+    touches the corrupted key column; without it every bad row reads
+    as clean (observed: n_bad = 0)."""
+    n = load_table(spark, sf_dir, "nation")
+    line = F.when(
+        F.col("n_nationkey") % 5 == 0,
+        F.concat(F.lit("x"), F.col("n_nationkey"), F.lit(","), F.col("n_name")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey"),
+            F.col("n_name"),
+            F.col("n_regionkey"),
+        )
+    )
+    path = _scratch_dir("nation_csv_malformed", sf_dir)
+    n.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return back.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).alias("n_good"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey"))).alias(
+            "sum_region_good"
+        ),
+        F.max(F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))).alias(
+            "max_good_key"
+        ),
     )
