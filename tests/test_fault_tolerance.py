@@ -102,3 +102,60 @@ def test_task_stats_surface(spark, sf_dir):
     assert stats["tasks_failed"] == 0
     assert stats["parallelism"] >= 1
     assert isinstance(stats["executors"], list)
+
+
+_CRASH_SCRIPT = r"""
+import os, sys
+from pyspark.sql import SparkSession, functions as F
+
+spark = (
+    SparkSession.builder.master("local[4,2]")
+    .appName("smr-worker-crash")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+df = spark.range(0, 1000, 1, 4)
+
+def crashing(batches):
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    # Partition 0's first attempt KILLS ITS WORKER PROCESS outright
+    # (no exception, no cleanup) — the closest local-mode analogue of
+    # the reference's worker-churn test (distributed_test.go:52-73),
+    # harsher than raising: Spark sees the socket die, not a Python
+    # traceback.
+    if ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+        os._exit(137)
+    for pdf in batches:
+        pdf["doubled"] = pdf["id"] * 2
+        yield pdf
+
+out = df.mapInPandas(crashing, "id long, doubled long")
+total = out.agg(F.sum("doubled").alias("s")).collect()[0]["s"]
+n = out.count()
+assert n == 1000, n
+assert total == 2 * sum(range(1000)), total
+print("WORKER-CRASH-OK", n, total)
+"""
+
+
+def test_job_survives_worker_process_death():
+    """A python worker process dying mid-task (os._exit, not an
+    exception) must be absorbed by task retry — the process-loss form
+    of fault tolerance the reference exercises by killing workers."""
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _CRASH_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "WORKER-CRASH-OK 1000 999000" in proc.stdout
