@@ -492,3 +492,69 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("avg_value").isNotNull(), 0).otherwise(1).alias("interpolated"),
         F.round(filled, 6).alias("avg_value_filled"),
     )
+
+
+@query(
+    "q_ts_trend_forecast",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) / 3600000000 AS BIGINT)
+               AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), fit AS (
+      SELECT event_type,
+             regr_slope(avg_value, h) AS slope,
+             regr_intercept(avg_value, h) AS intercept,
+             MAX(h) AS last_h,
+             COUNT(*) AS n_buckets
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(ROUND(slope, 6) AS DOUBLE) AS slope_per_hour,
+           CAST(ROUND(intercept + slope * (last_h + 1), 4) AS DOUBLE)
+             AS next_hour_forecast
+    FROM fit
+    """,
+)
+def q_ts_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend forecast: hourly averages per event type,
+    an OLS fit of average-vs-hour-index with the algebraic REGR_*
+    aggregates, extrapolated one bucket past the last observation —
+    the grouped trend-line primitive behind capacity planning and
+    drift alerts. Two partial/final aggregations (bucketize, then fit —
+    the fit consumes the vocabulary-sized hourly table), so millions of
+    per-key models fit in one scan + one tiny shuffle at 100 TB. Hour
+    indices are integer epoch-hours on both engines; the forecast
+    expression tree is written identically."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            (epoch_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_value")
+        )
+    )
+    fit = hourly.groupBy("event_type").agg(
+        F.regr_slope("avg_value", "h").alias("slope"),
+        F.regr_intercept("avg_value", "h").alias("intercept"),
+        F.max("h").alias("last_h"),
+        F.count("*").alias("n_buckets"),
+    )
+    return fit.select(
+        "event_type",
+        F.col("n_buckets").cast("long"),
+        F.round("slope", 6).alias("slope_per_hour"),
+        F.round(
+            F.col("intercept") + F.col("slope") * (F.col("last_h") + 1), 4
+        ).alias("next_hour_forecast"),
+    )
