@@ -380,3 +380,80 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(15)
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("red", "widget", "small")
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len({_SQL_TOKENS})) AS DOUBLE) / COUNT(*) AS avg_len
+      FROM documents
+    ), dfreq AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS n_with FROM toks GROUP BY 1
+    ), q AS (
+      SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}) AS v(token)
+    )
+    SELECT tf.doc_id,
+           CAST(ROUND(SUM(
+             ln(1.0 + (n_docs - n_with + 0.5) / (n_with + 0.5))
+             * (cnt * ({_BM25_K1} + 1.0))
+             / (cnt + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * doc_len / avg_len))
+           ), 6) AS DOUBLE) AS bm25
+    FROM tf
+    JOIN q USING (token)
+    JOIN dl USING (doc_id)
+    JOIN dfreq USING (token)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set
+    — the retrieval scorer TF-IDF feeds into (k1/b saturation + length
+    normalization, Robertson-Spärck Jones IDF in the ln(1 + ...) form
+    that keeps scores positive). One token explosion feeds term
+    frequencies, document lengths, and document frequencies; the query
+    side, per-term IDF table, and corpus stats are all
+    vocabulary-or-smaller (broadcast by AQE), so scoring the whole
+    corpus is one scan + one tf shuffle at any size. The score
+    expression tree is written identically on both engines, rounded at
+    the boundary."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size(tokens("text"))).cast("double") / F.count("*")).alias("avg_len"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("n_with"))
+    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], ["token"])
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("n_with") + 0.5) / (F.col("n_with") + 0.5)
+    )
+    score = idf * (F.col("cnt") * (_BM25_K1 + 1.0)) / (
+        F.col("cnt")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("doc_len") / F.col("avg_len"))
+    )
+    return (
+        tf.join(F.broadcast(q), "token")
+        .join(dl, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+    )

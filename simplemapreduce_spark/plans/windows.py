@@ -280,3 +280,42 @@ def q_window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("first_seen").over(w_cum).cast("long").alias("n_types_seen"),
     )
+
+
+@query(
+    "q_window_moving_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT day, n,
+           CAST(quantile_disc(n, 0.5) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS median_7d
+    FROM daily
+    """,
+)
+def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 7-day median — a HOLISTIC aggregate over a sliding frame,
+    which Spark's window functions cannot express natively (no
+    percentile over a frame). The rewrite collects the frame into an
+    array and takes the lower-middle element row-locally
+    (sorted[(len+1)/2] = the discrete median, DuckDB's quantile_disc
+    frame semantics). The collected frame is bounded by the frame
+    LENGTH (7), not the data, so the array trick is safe at any scale
+    — the general rule: array-materialize a window only when the frame
+    is O(1). Runs over the per-day aggregate, so the unpartitioned
+    window sorts day-vocabulary rows (per-series at scale: add
+    partitionBy)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    frame = F.array_sort(F.collect_list("n").over(w))
+    median = F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int"))
+    return daily.select("day", "n", median.cast("long").alias("median_7d"))
