@@ -86,3 +86,62 @@ def test_hash_sample_membership_is_row_local(spark, ids):
         r["doc_id"] for r in df.filter(hash_bucket(F.col("doc_id")) < "40").collect()
     )
     assert pick(df1) == pick(df8)
+
+
+def _binned_lookback_pairs(rows, range_micros):
+    """Brute-force spec: (event, prior) same-user pairs within the
+    lookback window, inclusive both ends."""
+    out = Counter()
+    for eid, uid, ts in rows:
+        out[eid] = sum(
+            1
+            for _, uid2, ts2 in rows
+            if uid2 == uid and ts - range_micros <= ts2 <= ts
+        )
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),      # raw event id (deduped below)
+            st.integers(0, 2),          # user id — few users => dense pairs
+            st.integers(0, 10),         # time in WINDOW-WIDTH units of 1/2
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@_SETTINGS
+def test_binned_range_join_equals_bruteforce(spark, rows):
+    """The 2x-replication binned rewrite must equal the O(n²) lookback
+    spec on adversarial inputs: timestamps generated in HALF-window
+    quanta so bucket boundaries, exact-window-width gaps, and
+    same-instant pairs all occur constantly (the corners the fixture's
+    random microsecond timestamps almost never hit)."""
+    from simplemapreduce_spark.plans.bucketing import _RANGE_MICROS, q_join_range_binned
+
+    rows = [
+        (i, uid, (half * _RANGE_MICROS) // 2)
+        for i, (_, uid, half) in enumerate(rows)
+    ]
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, base + dt.timedelta(microseconds=ts), uid, "t", 0.0, "{}")
+            for eid, uid, ts in rows
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        got = {
+            r["event_id"]: r["n_recent"]
+            for r in q_join_range_binned(spark, d).collect()
+        }
+    want = _binned_lookback_pairs(rows, _RANGE_MICROS)
+    assert got == dict(want)
