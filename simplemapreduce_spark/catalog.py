@@ -55,7 +55,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver-green in rounds 1-2 follow at position 51+ in import order
 # (round-3 additions land there too); cumulative distinct
 # driver-checked coverage after this window: 123 of the 169 queries
-# that existed when it was pinned (179 registered now).
+# that existed when it was pinned (the catalog has since grown — see
+# SURVEY.md §2.3 for the live count).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round 1 reds, never re-judged (VERDICT r2 top_next) --
     "q_cube",
