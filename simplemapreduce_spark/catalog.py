@@ -84,18 +84,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- never checked: windows --
     "q_window_moving_avg",
     "q_window_lag_lead",
-    "q_window_nth_value",
     # -- never checked: event-time / timeseries --
     "q_ts_tumbling",
     "q_ts_session_window",
     "q_ts_gap_fill",
-    "q_ts_downsample",
     # -- never checked: streaming --
     "q_stream_stream_join",
     "q_stream_dedup",
     # -- never checked: scalar families --
     "q_scalar_date",
-    "q_scalar_json",
     # -- never checked: subqueries + recursion --
     "q_subquery_correlated",
     "q_subquery_scalar",
@@ -121,6 +118,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- never checked: joins + pipeline --
     "q_join_null_safe",
     "q_pipeline_training_data",
+    # -- round-3 environment-sensitive additions (file staging, mtime
+    # ordering, scratch dirs): fail-fast in the driver env now rather
+    # than surfacing a red in a later round's rotation --
+    "q_stream_late_drop",
+    "q_source_binary_files",
+    "q_stream_update_mode",
 )
 
 
