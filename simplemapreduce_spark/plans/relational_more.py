@@ -481,3 +481,61 @@ def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_good_key"
         ),
     )
+
+
+@query(
+    "q_source_parquet_schema_evolution",
+    oracle="""
+    SELECT r_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(r_name) AS BIGINT) AS n_with_name,
+           CAST(COUNT(extra_score) AS BIGINT) AS n_with_score,
+           CAST(SUM(extra_score) AS BIGINT) AS sum_score
+    FROM (
+      SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS extra_score
+      FROM region WHERE r_regionkey < 3
+      UNION ALL
+      SELECT r_regionkey, CAST(NULL AS VARCHAR) AS r_name,
+             r_regionkey * 10 AS extra_score
+      FROM region WHERE r_regionkey >= 3
+    )
+    GROUP BY r_regionkey
+    """,
+)
+def q_source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations of one table —
+    the old slice has (key, name), the new slice dropped name and
+    added a score column — unioned by a mergeSchema scan that
+    NULL-fills each file's missing columns. This is the contract a
+    long-lived 100 TB table depends on: readers never rewrite old
+    files when a column lands or retires. (mergeSchema is opt-in
+    because footer-merging costs a pass over file metadata; the
+    production default is a table-level schema in a catalog.) The
+    oracle reconstructs the same union from the generation rule."""
+    r = load_table(spark, sf_dir, "region")
+    path = _scratch_dir("region_evolved", sf_dir)
+    (
+        r.filter(F.col("r_regionkey") < 3)
+        .select("r_regionkey", "r_name")
+        .write.mode("overwrite")
+        .parquet(path + "/gen=old")
+    )
+    (
+        r.filter(F.col("r_regionkey") >= 3)
+        .select(
+            "r_regionkey", (F.col("r_regionkey") * 10).cast("long").alias("extra_score")
+        )
+        .write.mode("overwrite")
+        .parquet(path + "/gen=new")
+    )
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    return back.groupBy("r_regionkey").agg(
+        F.count("*").alias("n"),
+        F.count("r_name").alias("n_with_name"),
+        F.count("extra_score").alias("n_with_score"),
+        F.sum("extra_score").alias("sum_score"),
+    )
