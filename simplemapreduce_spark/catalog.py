@@ -144,6 +144,7 @@ def load_all() -> None:
         llm_text,
         merge,
         mr_compat,
+        quality,
         relational,
         relational_ext,
         relational_more,

@@ -281,24 +281,34 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_text_bigram_lm",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+# CTE chain producing ce(doc_id, n_bigrams, cross_entropy) — shared by
+# the bigram-LM score query and the perplexity-bucket filter oracle.
+_SQL_BIGRAM_CE = f"""
+    toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
     db AS (
       SELECT doc_id,
              unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
       FROM toks WHERE len(t) >= 2
     ),
     bc AS (SELECT bg, COUNT(*) AS cnt FROM db GROUP BY 1),
-    uc AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(cnt) AS c1 FROM bc GROUP BY 1)
-    SELECT db.doc_id, COUNT(*) AS n_bigrams,
-           CAST(ROUND(AVG(-log2(CAST(bc.cnt AS DOUBLE) / uc.c1)), 6) AS DOUBLE)
-             AS cross_entropy
-    FROM db
-    JOIN bc USING (bg)
-    JOIN uc ON uc.w1 = string_split(db.bg, ' ')[1]
-    GROUP BY db.doc_id
+    uc AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(cnt) AS c1 FROM bc GROUP BY 1),
+    ce AS (
+      SELECT db.doc_id, COUNT(*) AS n_bigrams,
+             CAST(ROUND(AVG(-log2(CAST(bc.cnt AS DOUBLE) / uc.c1)), 6) AS DOUBLE)
+               AS cross_entropy
+      FROM db
+      JOIN bc USING (bg)
+      JOIN uc ON uc.w1 = string_split(db.bg, ' ')[1]
+      GROUP BY db.doc_id
+    )
+"""
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle=f"""
+    WITH {_SQL_BIGRAM_CE}
+    SELECT doc_id, n_bigrams, cross_entropy FROM ce
     """,
 )
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +327,12 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the doc bigram stream to the two count tables on bigram /
     prefix keys — broadcast when the vocabulary is small, plain
     equi-join shuffles when it is not — then one per-doc aggregate."""
+    return _bigram_cross_entropy(spark, sf_dir)
+
+
+def _bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, cross_entropy) — shared by q_text_bigram_lm
+    and the perplexity-bucket filter."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     bigram_arr = F.expr(
@@ -340,6 +356,59 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.avg(-F.log2(F.col("cnt").cast("double") / F.col("c1"))), 6
         ).alias("cross_entropy"),
+    )
+
+
+@query(
+    "q_text_perplexity_buckets",
+    oracle=f"""
+    WITH {_SQL_BIGRAM_CE},
+    rk AS (
+      SELECT doc_id, cross_entropy,
+             ROW_NUMBER() OVER (ORDER BY cross_entropy, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM ce
+    )
+    SELECT doc_id, cross_entropy,
+           CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM rk
+    """,
+)
+def q_text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document by its
+    bigram-LM cross-entropy and split the corpus into equal-sized
+    head / middle / tail thirds (head = most fluent/templated, tail =
+    most surprising). Training-data curation keeps or re-weights
+    buckets rather than hard-filtering on an absolute threshold, so
+    the cut adapts to the corpus. Rank-based bucketing (ties broken
+    by doc_id) is exactly reproducible across engines, unlike
+    interpolated quantile thresholds whose float arithmetic differs.
+
+    Scale shape: scoring is the q_text_bigram_lm plan; the bucketing
+    here uses a global ROW_NUMBER — a single-partition window over
+    the doc-count-sized score table, fine at gate scale and chosen
+    for exact oracle parity. The 100 TB path replaces it with
+    approx_percentile cutoffs broadcast back (row-local CASE), whose
+    bucket boundaries are approximate by design."""
+    ce = _bigram_cross_entropy(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    full = W.orderBy("cross_entropy", "doc_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    bucket = F.expr(
+        "CASE ((rn - 1) * 3) div n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'"
+        " ELSE 'tail' END"
+    )
+    return (
+        ce.select(
+            "doc_id",
+            "cross_entropy",
+            F.row_number().over(W.orderBy("cross_entropy", "doc_id")).alias("rn"),
+            F.count("*").over(full).alias("n"),
+        )
+        .select("doc_id", "cross_entropy", bucket.alias("ppl_bucket"))
     )
 
 

@@ -1,0 +1,99 @@
+"""Quality/governance operators — the non-oracle halves:
+
+* compaction: the plan (q_compaction_plan) must agree with what an
+  actual partitioned write under maxRecordsPerFile produces;
+* audit non-vacuity: every rule counts >0 violations at test scale
+  (a clean-data audit would verify the counting logic vacuously).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark import catalog
+from simplemapreduce_spark.plans.quality import TARGET_ROWS_PER_FILE
+from simplemapreduce_spark.scratch import scratch_dir
+from simplemapreduce_spark.sources.tables import load_table
+
+catalog.load_all()
+
+
+def test_compaction_plan_matches_write(spark, sf_dir):
+    """The write half of compaction: repartition to one task per output
+    partition, write with maxRecordsPerFile = target, and the produced
+    file counts equal the plan's n_files with all rows preserved."""
+    plan = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n_rows"], r["n_files"])
+        for r in catalog.QUERIES["q_compaction_plan"](spark, sf_dir).collect()
+    }
+    out = scratch_dir("compaction", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.repartition("l_returnflag", "l_linestatus")
+        .write.option("maxRecordsPerFile", TARGET_ROWS_PER_FILE)
+        .partitionBy("l_returnflag", "l_linestatus")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["rows"], r["files"])
+        for r in back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("rows"),
+            F.count_distinct(F.col("_metadata.file_path")).alias("files"),
+        )
+        .collect()
+    }
+    assert set(got) == set(plan)
+    for key, (rows, files) in got.items():
+        plan_rows, plan_files = plan[key]
+        assert rows == plan_rows, key
+        # One task per partition (repartition on the partition columns)
+        # means maxRecordsPerFile yields exactly ceil(rows/target)
+        # files — the plan's number. Hash collisions can co-locate two
+        # partitions in one task; that doesn't change the file count,
+        # which is per output-partition directory.
+        assert files == plan_files, key
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_audit_rules_nonvacuous(spark, sf_dir):
+    rows = {
+        r["rule"]: r["violations"]
+        for r in catalog.QUERIES["q_constraint_audit"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "status_domain",
+        "price_positive",
+        "orderdate_not_null",
+        "pk_unique",
+        "fk_lineitem_order_exists",
+    }
+    for rule, n in rows.items():
+        assert n > 0, f"rule {rule} verified vacuously (0 violations)"
+
+
+def test_snapshot_diff_all_classes(spark, sf_dir):
+    classes = {
+        r["change"]
+        for r in catalog.QUERIES["q_snapshot_diff"](spark, sf_dir).collect()
+    }
+    assert classes == {"insert", "update", "delete"}
+
+
+def test_perplexity_buckets_balanced(spark, sf_dir):
+    counts = {
+        r["ppl_bucket"]: r["n"]
+        for r in catalog.QUERIES["q_text_perplexity_buckets"](spark, sf_dir)
+        .groupBy("ppl_bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(counts) == {"head", "middle", "tail"}
+    assert max(counts.values()) - min(counts.values()) <= 1
