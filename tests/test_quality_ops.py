@@ -87,6 +87,25 @@ def test_snapshot_diff_all_classes(spark, sf_dir):
     assert classes == {"insert", "update", "delete"}
 
 
+def test_minhash_ckpt_stamp_invalidation(spark, sf_dir):
+    """The parquet-checkpointed signature table rebuilds when its
+    source-fixture stamp goes stale, and the rebuilt results equal the
+    cache-backed variant's."""
+    path = scratch_dir("minhash_sig", sf_dir)
+    stamp_file = path + ".stamp"
+    ckpt = catalog.QUERIES["q_dedup_minhash_lsh_ckpt"]
+    ckpt(spark, sf_dir).count()
+    real_stamp = open(stamp_file).read()
+    with open(stamp_file, "w") as f:
+        f.write("stale")
+    rows_ckpt = sorted(map(tuple, ckpt(spark, sf_dir).collect()))
+    assert open(stamp_file).read() == real_stamp, "stale checkpoint not rebuilt"
+    rows_cache = sorted(
+        map(tuple, catalog.QUERIES["q_dedup_minhash_lsh"](spark, sf_dir).collect())
+    )
+    assert rows_ckpt == rows_cache
+
+
 def test_perplexity_buckets_balanced(spark, sf_dir):
     counts = {
         r["ppl_bucket"]: r["n"]
