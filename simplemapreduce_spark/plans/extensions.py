@@ -63,14 +63,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_count_distinct")  # rows-only: HLL++ result is engine-specific
+@query(
+    "q_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+           TRUE AS parts_within_5pct,
+           TRUE AS suppliers_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the constant-memory
-    cardinality sketch; exact twin is q_agg_distinct."""
+    cardinality sketch; exact twin is q_agg_distinct.
+
+    Oracled via a BOUNDS WITNESS (upgraded from rows-only, the weakest
+    tier in VERDICT r2): the raw HLL++ estimate is engine-specific, so
+    the output carries the exact counts plus booleans asserting the
+    sketch landed within 5% of them; the oracle expects TRUE. HLL++ is
+    deterministic for a given input (hash-based, merge-commutative, no
+    RNG), and at rsd=0.01 a 5% bound is 5 sigma — if the sketch ever
+    drifts out, the driver gate goes red instead of silently passing a
+    rows-only check."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_suppliers"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("asu"),
+    )
+
+    def within(approx: str, exact: str):
+        return F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
+
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_suppliers",
+        within("ap", "exact_parts").alias("parts_within_5pct"),
+        within("asu", "exact_suppliers").alias("suppliers_within_5pct"),
     )
 
 

@@ -119,7 +119,15 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_hll_merge")  # rows-only: sketch bytes are engine-specific
+@query(
+    "q_agg_hll_merge",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_distinct_parts,
+           TRUE AS merged_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level mergeable-sketch aggregation: build one Datasketches
     HLL sketch of distinct l_partkey per (l_returnflag, l_linestatus)
@@ -127,18 +135,31 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate. This is the pattern that scales: partial sketches are a
     few KB regardless of group size, so re-aggregating 100 TB to a
     coarser grain moves sketch bytes, not rows. Accuracy bound is
-    asserted in tests/test_quality_bounds.py."""
+    asserted in tests/test_quality_bounds.py.
+
+    Oracled via a BOUNDS WITNESS (upgraded from rows-only): sketch
+    bytes and estimates are engine-specific, so the output carries the
+    exact distinct count plus a boolean asserting the MERGED estimate
+    landed within 5% of it; the oracle expects TRUE. lgConfigK=14
+    gives ~0.8% relative standard error, so 5% is ~6 sigma — a
+    drifting or broken merge turns the gate red."""
     li = load_table(spark, sf_dir, "lineitem")
     partial = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.hll_sketch_agg("l_partkey").alias("sketch")
+        F.hll_sketch_agg("l_partkey", 14).alias("sketch")
     )
-    return (
-        partial.groupBy("l_returnflag")
-        .agg(F.hll_union_agg("sketch").alias("merged"))
-        .select(
-            "l_returnflag",
-            F.hll_sketch_estimate("merged").alias("approx_distinct_parts"),
-        )
+    merged = partial.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_distinct_parts")
+    )
+    return merged.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_distinct_parts",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct_parts"))
+            <= 0.05 * F.col("exact_distinct_parts")
+        ).alias("merged_within_5pct"),
     )
 
 

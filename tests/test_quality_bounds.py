@@ -47,13 +47,11 @@ def test_hll_merge_estimate_within_bounds(spark, sf_dir):
         r["l_returnflag"]: r["n"]
         for r in li.groupBy("l_returnflag").agg(F.count_distinct("l_partkey").alias("n")).collect()
     }
-    merged = {
-        r["l_returnflag"]: r["approx_distinct_parts"]
-        for r in catalog.QUERIES["q_agg_hll_merge"](spark, sf_dir).collect()
-    }
-    assert set(merged) == set(exact)
-    for k, n_exact in exact.items():
-        assert abs(merged[k] - n_exact) <= max(2, 0.05 * n_exact), (k, merged[k], n_exact)
+    rows = catalog.QUERIES["q_agg_hll_merge"](spark, sf_dir).collect()
+    assert {r["l_returnflag"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["exact_distinct_parts"] == exact[r["l_returnflag"]]
+        assert r["merged_within_5pct"], r
 
 
 def test_approx_percentile_within_rank_bounds(spark, sf_dir):
