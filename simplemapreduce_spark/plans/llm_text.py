@@ -526,3 +526,54 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(score), 6).alias("bm25"))
     )
+
+
+VOCAB_K = 20  # tokenizer-eval vocabulary: top-K corpus tokens
+
+
+@query(
+    "q_text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token FROM freq ORDER BY cnt DESC, token LIMIT {VOCAB_K}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+           CAST(ROUND(CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-{K} corpus
+    vocabulary by frequency (deterministic ties on the token), then
+    score every document's out-of-vocabulary rate — the statistic that
+    drives vocab-size choices and flags domain shift before training.
+
+    Scale shape: token counts are one groupBy (map-side combine);
+    the vocabulary is a K-row top-k (TakeOrderedAndProject, no global
+    sort) that broadcasts into the coverage join, so the corpus token
+    stream is touched exactly twice and never shuffles by token for
+    the scoring pass.""".format(K=VOCAB_K)
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(VOCAB_K)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    marked = tok.join(F.broadcast(vocab), "token", "left")
+    oov = F.count_if(F.col("in_vocab").isNull())
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
+    )

@@ -608,3 +608,42 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rerank_w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    WITH comp AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(ROUND(AVG(x), 6) AS DOUBLE) AS mean_val
+    FROM comp GROUP BY label, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (class prototypes): the component
+    mean of every embedding dimension per label — the building block
+    of nearest-class-mean classifiers, drift monitors, and k-means
+    seeding over an embedding corpus.
+
+    Scale shape: posexplode multiplies rows by the dimension count,
+    then ONE groupBy on (label, dim) with map-side partial sums — the
+    standard distributed dense-vector mean. (The row-local
+    alternative — zip_with running sums via aggregate() — saves the
+    explode but serializes each partition's accumulation; the exploded
+    partial-agg pipelines through whole-stage codegen and lets the
+    shuffle carry (label, dim, partial_sum, n) scalars, which is the
+    shape that holds at 100 TB.) Double accumulation order differs per
+    partitioning, so means are rounded to 6 dp on both engines."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    comp = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    return comp.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg("x"), 6).alias("mean_val")
+    )
