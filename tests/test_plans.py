@@ -320,3 +320,38 @@ def test_cumulative_distinct_single_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
+    """The K-row vocabulary must broadcast into the coverage join and
+    the top-k must compile to TakeOrderedAndProject (no global sort)."""
+    plan = _plan(catalog.QUERIES["q_text_vocab_coverage"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_snapshot_diff_single_join_no_cartesian(spark, sf_dir):
+    import re
+
+    plan = _plan(catalog.QUERIES["q_snapshot_diff"](spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+    join_nodes = set(
+        re.findall(r"\((\d+)\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    )
+    assert len(join_nodes) == 1, "snapshot diff must be exactly one equi-join"
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    """The per-column profile must read the table once (one scan node),
+    not once per column."""
+    import re
+
+    plan = _plan(catalog.QUERIES["q_profile_columns"](spark, sf_dir))
+    scan_nodes = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_nodes) == 1
+
+
+def test_dedup_lines_no_python_udf(spark, sf_dir):
+    for name in ("q_dedup_lines", "q_dedup_lines_frequency"):
+        plan = _plan(catalog.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
