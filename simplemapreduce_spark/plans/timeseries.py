@@ -558,3 +558,61 @@ def q_ts_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("intercept") + F.col("slope") * (F.col("last_h") + 1), 4
         ).alias("next_hour_forecast"),
     )
+
+
+@query(
+    "q_ts_ohlc",
+    oracle="""
+    WITH rk AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM rk GROUP BY event_type, day
+    """,
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsample: per (series, day) the opening
+    value (earliest event, ties by event_id), high, low, closing value
+    (latest event), and volume — the canonical time-series rollup of
+    every metrics/market hypertable.
+
+    Determinism: open/close are selected by ROW_NUMBER over the full
+    (ts, event_id) order, so same-timestamp events can never flip the
+    result between engines or reruns. Values are raw stored doubles —
+    no arithmetic, bit-exact on both engines.
+
+    Scale shape: one hash exchange on the (series, day) grain serves
+    both window sorts AND the final aggregate (same partition keys —
+    Catalyst reuses the exchange; the windows add per-partition sorts,
+    not shuffles). At 100 TB with many events per day-grain this is
+    the map-side-combinable alternative to collecting events per
+    group."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    base = e.select("event_type", day.alias("day"), "ts", "event_id", "value")
+    wf = W.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wl = W.partitionBy("event_type", "day").orderBy(F.desc("ts"), F.desc("event_id"))
+    rk = base.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return rk.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+    )

@@ -297,6 +297,92 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_left_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+      ) - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+      SELECT c.user_id,
+             c.event_id AS click_id, p.event_id AS purchase_id,
+             date_diff('second', c.ts, p.ts) AS secs_to_purchase
+      FROM events c JOIN events p
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, click_id, purchase_id, secs_to_purchase FROM matched
+    UNION ALL
+    SELECT c.user_id, c.event_id, NULL, NULL
+    FROM events c, wm
+    WHERE c.event_type = 'click'
+      AND c.ts + INTERVAL 30 MINUTE < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with its purchase
+    when one lands within 30 minutes, and a null-extended row when the
+    watermark PROVES none can still arrive. The outer semantics are
+    what make streaming joins subtle: an unmatched click is emitted
+    only at state eviction — when the purchase-side watermark passes
+    click_ts + 30min — never speculatively. The oracle mirrors that
+    exactly: matched pairs, plus unmatched clicks whose join window
+    closed before the final GLOBAL watermark — the MIN over both
+    sides' per-operator watermarks, i.e. least(max click ts, max
+    purchase ts) − 1h delay; unmatched clicks in the trailing window
+    are correctly ABSENT (still pending when the finite replay
+    drains).
+    The fixtures have no click whose window boundary falls within 1 ms
+    of the final watermark, so millisecond watermark truncation cannot
+    flip a row.
+
+    Scale shape: identical to the inner join — state bounded by the
+    watermark on both sides, keyed-state symmetric hash join; the
+    outer variant only adds the eviction-time null emission."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    out = run_stream_to_table(joined, "append")
+    return out.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_to_purchase"),
+    )
+
+
+@query(
     "q_stream_dedup",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
