@@ -616,3 +616,124 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "q_ts_asof_nearest",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id AS cid, CAST(NULL AS BIGINT) AS pid,
+             CAST(NULL AS TIMESTAMP) AS pts, 1 AS kind
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, CAST(NULL AS BIGINT) AS cid, event_id AS pid,
+             ts AS pts, 0 AS kind
+      FROM events WHERE event_type = 'purchase'
+    ), f AS (
+      SELECT *,
+        LAST_VALUE(pid IGNORE NULLS) OVER (
+          PARTITION BY user_id
+          ORDER BY ts, kind, COALESCE(pid, 0), COALESCE(cid, 0)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_pid,
+        LAST_VALUE(pts IGNORE NULLS) OVER (
+          PARTITION BY user_id
+          ORDER BY ts, kind, COALESCE(pid, 0), COALESCE(cid, 0)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+        FIRST_VALUE(pid IGNORE NULLS) OVER (
+          PARTITION BY user_id
+          ORDER BY ts, kind, COALESCE(pid, 0), COALESCE(cid, 0)
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_pid,
+        FIRST_VALUE(pts IGNORE NULLS) OVER (
+          PARTITION BY user_id
+          ORDER BY ts, kind, COALESCE(pid, 0), COALESCE(cid, 0)
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+      FROM m
+    )
+    SELECT cid AS click_id, user_id, ts,
+           CASE WHEN back_pid IS NULL THEN fwd_pid
+                WHEN fwd_pid IS NULL THEN back_pid
+                WHEN ts - back_ts <= fwd_ts - ts THEN back_pid
+                ELSE fwd_pid END AS nearest_purchase_id,
+           CASE WHEN back_pid IS NULL AND fwd_pid IS NULL THEN NULL
+                WHEN back_pid IS NULL THEN date_diff('second', ts, fwd_ts)
+                WHEN fwd_pid IS NULL THEN date_diff('second', back_ts, ts)
+                WHEN ts - back_ts <= fwd_ts - ts THEN date_diff('second', back_ts, ts)
+                ELSE date_diff('second', ts, fwd_ts) END AS secs_to_nearest
+    FROM f WHERE kind = 1
+    """,
+)
+def q_ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST join (pandas merge_asof direction='nearest'):
+    each click gets the same user's purchase with the smallest
+    absolute time distance, in either direction; equidistant ties
+    resolve to the EARLIER (backward) purchase, and same-instant
+    purchases count as distance zero via the backward leg (kind
+    orders purchases before clicks at equal ts). Distance comparison
+    is on raw microsecond timestamps; only the reported seconds are
+    truncated.
+
+    Scale shape: the union-merge formulation again — one shuffle on
+    user_id, one per-partition sort serving BOTH directional window
+    passes (backward last-non-null and forward first-non-null share
+    the exchange AND the sort); no per-click probe join, no skew
+    amplification on hot users."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("cid"),
+        F.lit(None).cast("long").alias("pid"),
+        F.lit(None).cast("timestamp_ntz").alias("pts"),
+        F.lit(1).alias("kind"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("cid"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        F.lit(0).alias("kind"),
+    )
+    order = [
+        F.col("ts"),
+        F.col("kind"),
+        F.coalesce("pid", F.lit(0)),
+        F.coalesce("cid", F.lit(0)),
+    ]
+    back = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    fwd = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    f = clicks.unionByName(purchases).select(
+        "*",
+        F.last("pid", ignorenulls=True).over(back).alias("back_pid"),
+        F.last("pts", ignorenulls=True).over(back).alias("back_ts"),
+        F.first("pid", ignorenulls=True).over(fwd).alias("fwd_pid"),
+        F.first("pts", ignorenulls=True).over(fwd).alias("fwd_ts"),
+    )
+    back_closer = epoch_micros(F.col("ts")) - epoch_micros(F.col("back_ts")) <= epoch_micros(
+        F.col("fwd_ts")
+    ) - epoch_micros(F.col("ts"))
+
+    def secs(c):
+        # floor-of-epoch-seconds difference == DuckDB date_diff('second')
+        # (both count whole-second boundary crossings; epochs positive)
+        return F.floor(epoch_micros(F.col(c)) / F.lit(1000000)).cast("long")
+    return f.filter(F.col("kind") == 1).select(
+        F.col("cid").alias("click_id"),
+        "user_id",
+        "ts",
+        F.when(F.col("back_pid").isNull(), F.col("fwd_pid"))
+        .when(F.col("fwd_pid").isNull(), F.col("back_pid"))
+        .when(back_closer, F.col("back_pid"))
+        .otherwise(F.col("fwd_pid"))
+        .alias("nearest_purchase_id"),
+        F.when(F.col("back_pid").isNull() & F.col("fwd_pid").isNull(), F.lit(None))
+        .when(F.col("back_pid").isNull(), secs("fwd_ts") - secs("ts"))
+        .when(F.col("fwd_pid").isNull(), secs("ts") - secs("back_ts"))
+        .when(back_closer, secs("ts") - secs("back_ts"))
+        .otherwise(secs("fwd_ts") - secs("ts"))
+        .alias("secs_to_nearest"),
+    )

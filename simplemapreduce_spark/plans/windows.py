@@ -319,3 +319,47 @@ def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = F.array_sort(F.collect_list("n").over(w))
     median = F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int"))
     return daily.select("day", "n", median.cast("long").alias("median_7d"))
+
+
+@query(
+    "q_window_range_interval",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+             AS trailing_1h_cents,
+           COUNT(*) OVER w AS trailing_1h_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time INTERVAL range frame: per user, the trailing-1-hour
+    sum and count at every event — the time-based sibling of the
+    numeric range frame (q_window_range_frame). RANGE over an ORDER BY
+    timestamp with an interval bound means frame membership is decided
+    by event-time distance, not row position, so same-instant peers
+    are always in-frame together and frames are engine-identical
+    without a tie-break column. Sums run in exact integer cents.
+
+    Scale shape: one hash exchange on user_id + per-partition sort;
+    the sliding frame advances two pointers per partition — O(n) after
+    the sort, no self-join against the lookback window (the
+    q_join_range formulation this window subsumes for single-table
+    lookbacks)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = e.select("event_id", "user_id", "ts", cents.alias("cents"))
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            "sum(cents) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ).alias("trailing_1h_cents"),
+        F.expr(
+            "count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ).alias("trailing_1h_n"),
+    )

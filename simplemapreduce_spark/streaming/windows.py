@@ -140,6 +140,67 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_chained_agg",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    ten AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '10 minutes', ts) AS wstart,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    fin AS (
+      SELECT * FROM ten, wm
+      WHERE wstart + INTERVAL 10 MINUTE <= wm.w
+    )
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', wstart) AS hour_start,
+           MAX(n) AS max_10min_n,
+           SUM(n) AS hour_n
+    FROM fin, wm
+    WHERE time_bucket(INTERVAL '1 hour', wstart) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (Spark
+    3.4+ time-window re-aggregation): tumbling 10-minute counts per
+    event type, re-windowed into hourly MAX/SUM of those counts —
+    the streaming rollup pyramid (fine grain feeding coarse grain)
+    without an intermediate sink. Append mode is what makes chaining
+    legal: the hourly agg consumes only FINALIZED 10-minute windows.
+
+    The oracle replays the append-mode emission rule: a 10-minute
+    window reaches the second agg only once the watermark (max event
+    time − 1h) passes its end, and an hourly result row emits only
+    once the watermark passes the HOUR's end — so trailing windows
+    still pending at drain are absent, deterministically. Window
+    boundaries are 10-min/hour-aligned while the watermark carries
+    the max event's microseconds, so boundary-equality ambiguity
+    cannot arise on these fixtures.
+
+    Scale shape: both aggs are keyed streaming state with partial
+    merge; the second operates on window-count rows (orders of
+    magnitude smaller), exactly like a batch rollup tree."""
+    ten = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    hourly = ten.groupBy(F.window(F.col("w"), "1 hour").alias("h"), "event_type").agg(
+        F.max("n").alias("max_10min_n"), F.sum("n").alias("hour_n")
+    )
+    out = run_stream_to_table(hourly, "append")
+    return out.select(
+        "event_type",
+        event_time_to_ntz(F.col("h.start")).alias("hour_start"),
+        "max_10min_n",
+        "hour_n",
+    )
+
+
+@query(
     "q_stream_sliding",
     oracle="""
     WITH offsets AS (SELECT unnest([0, 15]) AS off_min),
