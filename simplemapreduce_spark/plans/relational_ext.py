@@ -606,3 +606,47 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n > 5
         """
     )
+
+
+@query(
+    "q_scalar_collation",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                  ELSE event_type END AS et
+      FROM events
+    )
+    SELECT lower(et) AS event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT et) AS n_variants
+    FROM m GROUP BY lower(et)
+    """,
+)
+def q_scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION semantics: group case-variant strings under
+    the UTF8_LCASE collation — comparison/grouping behavior lives in
+    the TYPE, not in lower() call sites. A third of the rows are
+    deterministically upper-cased in-query so the case-insensitive
+    merge is exercised non-vacuously (n_variants = 2 per surviving
+    group); the group key is re-rendered through lower() + a cast back
+    to UTF8_BINARY so the output representative is deterministic and
+    the schema is a plain string for the oracle compare. DuckDB's
+    default VARCHAR is case-sensitive, so its oracle groups by
+    lower(et) — the rewrite collations make unnecessary on the Spark
+    side. Plan: a plain hash aggregate on the collated key (collation
+    participates in hashing/equality inside codegen — no UDF, no
+    double-pass)."""
+    e = load_table(spark, sf_dir, "events")
+    et = F.when(F.col("event_id") % 3 == 0, F.upper("event_type")).otherwise(
+        F.col("event_type")
+    )
+    m = e.select(et.alias("et"))
+    return (
+        m.groupBy(F.expr("collate(et, 'UTF8_LCASE')").alias("et_ci"))
+        .agg(F.count("*").alias("n"), F.count_distinct("et").alias("n_variants"))
+        .select(
+            F.expr("collate(lower(et_ci), 'UTF8_BINARY')").alias("event_type"),
+            "n",
+            "n_variants",
+        )
+    )
