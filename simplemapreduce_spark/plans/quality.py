@@ -228,6 +228,22 @@ _SQL_SNAP_V2 = """
 """
 
 
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The two deterministic ``orders`` versions the CDC operators run
+    against (Python twin of _SQL_SNAP_V1/_SQL_SNAP_V2)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v1 = o.filter(k % 10 != 0).select(k, "o_orderstatus", "o_totalprice")
+    v2 = o.filter(k % 7 != 0).select(
+        k,
+        "o_orderstatus",
+        F.when(k % 5 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return v1, v2
+
+
 @query(
     "q_snapshot_diff",
     oracle=f"""
@@ -256,16 +272,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC merge-diff. Both sides hash-partition on o_orderkey (AQE
     handles size asymmetry); on a bucketed/Z-ordered lakehouse table
     the same plan runs shuffle-free."""
-    o = load_table(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    v1 = o.filter(k % 10 != 0).select(k, "o_orderstatus", "o_totalprice")
-    v2 = o.filter(k % 7 != 0).select(
-        k,
-        "o_orderstatus",
-        F.when(k % 5 == 0, F.col("o_totalprice") * 2)
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-    )
+    v1, v2 = _snapshots(spark, sf_dir)
     a, b = v1.alias("a"), v2.alias("b")
     ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
     return (
@@ -333,3 +340,65 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(n_rows + (n_rows + {t - 1}) div {t} - 1) div ((n_rows + {t - 1}) div {t})"
         ).alias("rows_per_file"),
     )
+
+
+@query(
+    "q_cdc_apply",
+    # The oracle is simply v2: applying the v1→v2 changefeed onto v1
+    # must reproduce v2 EXACTLY (diff→apply round-trip identity), so
+    # any bug in either the diff or the apply semantics surfaces as a
+    # value mismatch against the independently-defined target state.
+    oracle=_SQL_SNAP_V2,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY with delete semantics — the write-side pairing of
+    q_snapshot_diff: build the changefeed (insert/update/delete rows,
+    each carrying the full new payload) and apply it to the base
+    snapshot: deletes drop the base row, updates replace its payload,
+    inserts append. This is the core of every MERGE-based lakehouse
+    ingestion (Delta/Iceberg MERGE WHEN MATCHED DELETE/UPDATE WHEN NOT
+    MATCHED INSERT) expressed as pure DataFrame ops.
+
+    Scale shape: the changefeed build is one full-outer equi-join on
+    the key; the apply is one left join of the base against the
+    (typically much smaller) changefeed — AQE broadcasts it when small
+    — plus a union of the inserts. Both joins hash-partition on the
+    same key, so on bucketed storage the whole pipeline is a single
+    partition-local pass."""
+    v1, v2 = _snapshots(spark, sf_dir)
+    a, b = v1.alias("a"), v2.alias("b")
+    ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    changes = (
+        a.join(b, ak == bk, "full_outer")
+        .filter(
+            ak.isNull()
+            | bk.isNull()
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        )
+        .select(
+            F.coalesce(ak, bk).alias("c_key"),
+            F.when(ak.isNull(), F.lit("insert"))
+            .when(bk.isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            F.col("b.o_orderstatus").alias("new_status"),
+            F.col("b.o_totalprice").alias("new_totalprice"),
+        )
+    )
+    base = v1.alias("base")
+    applied = (
+        base.join(changes, F.col("base.o_orderkey") == F.col("c_key"), "left")
+        .filter(F.col("op").isNull() | (F.col("op") == "update"))
+        .select(
+            F.col("base.o_orderkey").alias("o_orderkey"),
+            F.coalesce("new_status", "base.o_orderstatus").alias("o_orderstatus"),
+            F.coalesce("new_totalprice", "base.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    inserts = changes.filter(F.col("op") == "insert").select(
+        F.col("c_key").alias("o_orderkey"),
+        F.col("new_status").alias("o_orderstatus"),
+        F.col("new_totalprice").alias("o_totalprice"),
+    )
+    return applied.unionByName(inserts)
