@@ -145,3 +145,36 @@ def test_binned_range_join_equals_bruteforce(spark, rows):
         }
     want = _binned_lookback_pairs(rows, _RANGE_MICROS)
     assert got == dict(want)
+
+
+def test_catalog_ops_partition_invariance(spark, sf_dir):
+    """End-to-end partition invariance for the round-3 deterministic
+    pipelines: identical results under different shuffle-partition
+    counts (the property that makes the oracle gate meaningful on a
+    cluster whose partitioning the driver does not control). Covers
+    the content-keyed dedup window, the LSH pipeline end-to-end, the
+    rank-based perplexity buckets (rounded-double ordering), and the
+    CDC diff->apply round-trip."""
+    from simplemapreduce_spark import catalog
+
+    catalog.load_all()
+
+    def run(name, n):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            return sorted(
+                tuple(str(v) for v in row)
+                for row in catalog.QUERIES[name](spark, sf_dir).collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    for name in (
+        "q_dedup_minhash_lsh",
+        "q_dedup_lines",
+        "q_text_perplexity_buckets",
+        "q_cdc_apply",
+        "q_ts_asof_nearest",
+    ):
+        assert run(name, 3) == run(name, 17), name
