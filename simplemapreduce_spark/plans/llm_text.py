@@ -560,7 +560,7 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocabulary is a K-row top-k (TakeOrderedAndProject, no global
     sort) that broadcasts into the coverage join, so the corpus token
     stream is touched exactly twice and never shuffles by token for
-    the scoring pass.""".format(K=VOCAB_K)
+    the scoring pass."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     vocab = (
@@ -577,3 +577,6 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.alias("n_oov"),
         F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
     )
+
+
+q_text_vocab_coverage.__doc__ = q_text_vocab_coverage.__doc__.format(K=VOCAB_K)

@@ -272,7 +272,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC merge-diff. Both sides hash-partition on o_orderkey (AQE
     handles size asymmetry); on a bucketed/Z-ordered lakehouse table
     the same plan runs shuffle-free."""
-    v1, v2 = _snapshots(spark, sf_dir)
+    cf = _changefeed(*_snapshots(spark, sf_dir))
+    return cf.select("o_orderkey", "change", "old_totalprice", "new_totalprice")
+
+
+def _changefeed(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """The v1→v2 change rows — one full-outer equi-join on the key,
+    changed/inserted/deleted rows only, carrying both payloads. Single
+    definition consumed by BOTH q_snapshot_diff and q_cdc_apply so the
+    diff and apply semantics cannot diverge (the round-trip identity
+    the apply oracle asserts)."""
     a, b = v1.alias("a"), v2.alias("b")
     ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
     return (
@@ -290,6 +299,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("update"))
             .alias("change"),
             F.col("a.o_totalprice").alias("old_totalprice"),
+            F.col("b.o_orderstatus").alias("new_status"),
             F.col("b.o_totalprice").alias("new_totalprice"),
         )
     )
@@ -366,25 +376,11 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     same key, so on bucketed storage the whole pipeline is a single
     partition-local pass."""
     v1, v2 = _snapshots(spark, sf_dir)
-    a, b = v1.alias("a"), v2.alias("b")
-    ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
-    changes = (
-        a.join(b, ak == bk, "full_outer")
-        .filter(
-            ak.isNull()
-            | bk.isNull()
-            | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
-            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
-        )
-        .select(
-            F.coalesce(ak, bk).alias("c_key"),
-            F.when(ak.isNull(), F.lit("insert"))
-            .when(bk.isNull(), F.lit("delete"))
-            .otherwise(F.lit("update"))
-            .alias("op"),
-            F.col("b.o_orderstatus").alias("new_status"),
-            F.col("b.o_totalprice").alias("new_totalprice"),
-        )
+    changes = _changefeed(v1, v2).select(
+        F.col("o_orderkey").alias("c_key"),
+        F.col("change").alias("op"),
+        "new_status",
+        "new_totalprice",
     )
     base = v1.alias("base")
     applied = (

@@ -325,8 +325,8 @@ def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_range_interval",
     oracle="""
     SELECT event_id, user_id, ts,
-           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
-             AS trailing_1h_cents,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+             AS BIGINT) AS trailing_1h_cents,
            COUNT(*) OVER w AS trailing_1h_n
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts

@@ -156,7 +156,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            time_bucket(INTERVAL '1 hour', wstart) AS hour_start,
            MAX(n) AS max_10min_n,
-           SUM(n) AS hour_n
+           CAST(SUM(n) AS BIGINT) AS hour_n
     FROM fin, wm
     WHERE time_bucket(INTERVAL '1 hour', wstart) + INTERVAL 1 HOUR <= wm.w
     GROUP BY 1, 2

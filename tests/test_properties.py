@@ -159,9 +159,15 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
 
     catalog.load_all()
 
+    from simplemapreduce_spark.cache import clear_memo
+
     def run(name, n):
         old = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        # Drop memoized persisted subtrees so the SECOND run re-executes
+        # the full pipeline under the new partitioning instead of
+        # reusing a cache materialized under the first.
+        clear_memo()
         try:
             return sorted(
                 tuple(str(v) for v in row)

@@ -8,10 +8,8 @@
 
 from __future__ import annotations
 
-import os
 import shutil
 
-import pytest
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark import catalog
