@@ -180,3 +180,60 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 1000.0)
     return d.filter(u < p).select("doc_id", "n_chars")
+
+
+N_SHARDS = 8
+
+
+@query(
+    "q_shard_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {N_SHARDS} AS shard,
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM assigned GROUP BY shard
+    """,
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data output sharding: assign every document to one of
+    {N} shards by content hash (the data-loader file layout for a
+    tokenized corpus) and report per-shard balance — doc and token
+    counts plus the id range. Hash assignment (not round-robin) is
+    what survives at scale: membership is a pure row function, stable
+    under repartitioning, retries, and incremental appends, and the
+    balance report is the check that no shard will straggle a training
+    epoch.
+
+    Scale shape: row-local md5 assignment, one {N}-group aggregate
+    with map-side partials; the actual write is
+    ``df.write.partitionBy('shard')`` (exercised for the compaction op
+    in tests/test_quality_ops.py with the same layout machinery)."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % N_SHARDS
+    )
+    n_tokens = F.size(tokens("text"))
+    return (
+        d.select("doc_id", shard.alias("shard"), n_tokens.alias("n_tokens"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+q_shard_assignment.__doc__ = q_shard_assignment.__doc__.format(N=N_SHARDS)
