@@ -436,7 +436,7 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's shuffle carries only (pair, count) partials — vocabulary-
     sized — which is what makes BPE training feasible as a sequence
     of Spark aggregations at corpus scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     pair_arr = F.expr(
         "transform(sequence(1, char_length(token) - 1), i -> substring(token, i, 2))"
     )

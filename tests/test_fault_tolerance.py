@@ -159,3 +159,7 @@ def test_job_survives_worker_process_death():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "WORKER-CRASH-OK 1000 999000" in proc.stdout
+    # The injected crash must have actually fired (vacuity guard —
+    # same pattern as the task-failure sibling): Spark logs the dead
+    # worker socket before retrying.
+    assert "Python worker exited unexpectedly" in proc.stderr

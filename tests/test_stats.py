@@ -131,6 +131,31 @@ def test_bm25_terms_match_fixture_vocabulary(spark, sf_dir):
     """Same fixture-regeneration guard as the fuzzy lexicon: the BM25
     query terms must keep hitting documents, and longer documents with
     the same term count must score lower (length normalization)."""
+    from collections import defaultdict
+
+    from simplemapreduce_spark.plans.llm_text import _BM25_TERMS
+    from simplemapreduce_spark.sources.tables import load_table
+
     rows = catalog.QUERIES["q_text_bm25"](spark, sf_dir).collect()
     assert rows, "BM25 query terms missing from fixture vocabulary — update _BM25_TERMS"
     assert all(r["bm25"] > 0 for r in rows)
+    # Length normalization, asserted for real: among documents with an
+    # IDENTICAL query-term tf vector, bm25 must be strictly decreasing
+    # in document length (the b-term is the only remaining variable).
+    score = {r["doc_id"]: r["bm25"] for r in rows}
+    by_tf = defaultdict(list)
+    for doc_id, text in load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        toks = text.split()
+        tf = tuple(toks.count(t) for t in _BM25_TERMS)
+        if any(tf):
+            by_tf[tf].append((len(toks), doc_id))
+    checked = 0
+    for tf, docs in by_tf.items():
+        docs.sort()
+        for (len_a, a), (len_b, b) in zip(docs, docs[1:]):
+            if len_a < len_b:
+                assert score[a] > score[b], (tf, a, b)
+                checked += 1
+    assert checked > 0, "no equal-tf doc pairs — length normalization unverified"
