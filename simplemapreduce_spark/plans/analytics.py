@@ -153,3 +153,83 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(W.partitionBy("from_type"))).alias("p"),
     )
+
+
+MIN_PAIR_SUPPORT = 2
+TOP_PAIRS = 20
+
+
+@query(
+    "q_market_basket_pairs",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    pc AS (SELECT l_partkey, COUNT(*) AS n_with FROM op GROUP BY 1),
+    ab AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    )
+    SELECT part_a, part_b, support,
+           CAST(ROUND(CAST(support * n.n_orders AS DOUBLE)
+                      / (pa.n_with * pb.n_with), 6) AS DOUBLE) AS lift
+    FROM ab, n
+    JOIN pc pa ON pa.l_partkey = ab.part_a
+    JOIN pc pb ON pb.l_partkey = ab.part_b
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {TOP_PAIRS}
+    """,
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: part pairs co-ordered in the same
+    order, with support and lift — the frequent-itemset statistic
+    behind recommendations and assortment analytics.
+
+    Scale shape: pair candidates come from ROW-LOCAL combination
+    expansion over per-order part sets (one groupBy on the order key,
+    then explode of C(k,2) pairs inside the row) — the same
+    bucket-grouping pattern as the LSH candidate stage, NOT the
+    quadratic self-join the oracle uses (fine in SQL at gate scale,
+    hot-key-quadratic at 100 TB). Baskets are naturally capped (an
+    order has bounded lines), so the expansion is bounded per row;
+    part marginals and the order count are tiny aggregates AQE
+    broadcasts into the lift join. Deterministic top-{TOP} on
+    (support DESC, part_a, part_b) compiles to TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count("*").alias("n_with"))
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = F.expr(
+        "explode(flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), y -> struct(x AS part_a, y AS part_b)))))"
+    )
+    ab = (
+        baskets.select(pairs.alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= MIN_PAIR_SUPPORT)
+    )
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_with").alias("na"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_with").alias("nb"))
+    lift = F.round(
+        (F.col("support") * F.col("n_orders")).cast("double")
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    return (
+        ab.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select("part_a", "part_b", "support", lift.alias("lift"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(TOP_PAIRS)
+    )
+
+
+q_market_basket_pairs.__doc__ = q_market_basket_pairs.__doc__.format(TOP=TOP_PAIRS)

@@ -737,3 +737,50 @@ def q_ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(secs("fwd_ts") - secs("ts"))
         .alias("secs_to_nearest"),
     )
+
+
+@query(
+    "q_ts_rollup_distinct",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(DISTINCT user_id) AS exact_distinct_users,
+           TRUE AS merged_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def q_ts_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed mergeable-sketch rollup: 10-minute HLL partial
+    sketches of distinct users, union-merged up to the day grain —
+    the continuous-aggregate pattern of every metrics hypertable
+    (partials maintained incrementally at fine grain; any coarser
+    window is a cheap sketch merge, never a raw re-scan). Oracled via
+    the exact-count + bounds-witness contract (see q_agg_hll_merge):
+    the output carries the exact per-day distinct count plus a boolean
+    asserting the MERGED estimate landed within 5% (lgConfigK=14,
+    ~6 sigma).
+
+    Scale shape: the fine-grain aggregate shuffles (bucket, user)
+    partials once; the day rollup moves only KB-sized sketches per
+    bucket. At 100 TB the 10-minute sketch table is the materialized
+    continuous aggregate and this query reads ONLY it — the exact
+    column here exists for the verification contract."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    ten = F.window("ts", "10 minutes")
+    partial = e.groupBy(day.alias("day"), ten.alias("w")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    merged = partial.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = e.groupBy(day.alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_distinct_users")
+    )
+    return merged.join(exact, "day").select(
+        "day",
+        "exact_distinct_users",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct_users"))
+            <= 0.05 * F.col("exact_distinct_users")
+        ).alias("merged_within_5pct"),
+    )
