@@ -152,3 +152,95 @@ def q_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "supplier"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_REACH_SQL)
+
+
+_SSSP_ITERS = 3
+_SSSP_SRC = 0
+
+
+def _sssp_oracle() -> str:
+    its = [
+        f"it0 AS (SELECT node, CASE WHEN node = {_SSSP_SRC} THEN CAST(0 AS BIGINT) END AS dist FROM nodes)"
+    ]
+    for k in range(_SSSP_ITERS):
+        its.append(
+            f"""it{k + 1} AS (
+      SELECT n.node,
+             LEAST(i.dist, (
+               SELECT MIN(i2.dist + e.cost) FROM edges e
+               JOIN it{k} i2 ON i2.node = e.src
+               WHERE e.dst = n.node)) AS dist
+      FROM nodes n LEFT JOIN it{k} i ON i.node = n.node)"""
+        )
+    return f"""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             (1000000 + COUNT(*) - 1) // COUNT(*) AS cost
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ), nodes AS (
+      SELECT n_nationkey AS node FROM nation
+    ), {", ".join(its)}
+    SELECT node, dist FROM it{_SSSP_ITERS}
+    """
+
+
+@query("q_graph_shortest_path", oracle=_sssp_oracle())
+def q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (Bellman-Ford, {K} fixed
+    relaxation rounds) from nation {S} over the trade graph, with
+    INTEGER edge costs ceil(1e6 / trade_volume) — heavier trade =
+    cheaper edge — so every distance is exact integer arithmetic and
+    the unrolled-CTE oracle matches bit-for-bit (no float-rounding
+    escape hatch like PageRank needs). Nodes not yet reached after
+    {K} rounds stay NULL on both engines.
+
+    Scale shape: each relaxation is contributions-join + MIN aggregate
+    on the edge table — O(|E|) per round, driver holds only loop
+    control; LEAST/MIN ignore NULLs identically on both engines. The
+    same loop at billions of edges checkpoints the frontier per round
+    (localCheckpoint, as q_dedup_clusters does)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.expr("(1000000 + count(*) - 1) div count(*)").alias("cost"))
+    )
+    edges = memo_persist(
+        edges, f"graph.sssp_edges:{sf_dir}", table_stamp(sf_dir, "lineitem")
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == _SSSP_SRC, F.lit(0)).cast("long").alias("dist"),
+    )
+    for _ in range(_SSSP_ITERS):
+        relaxed = (
+            edges.join(dist.alias("d"), edges.src == F.col("d.node"))
+            .select(F.col("dst").alias("node"), (F.col("d.dist") + F.col("cost")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = (
+            dist.alias("d")
+            .join(relaxed.alias("r"), F.col("d.node") == F.col("r.node"), "left")
+            .select(F.col("d.node").alias("node"), F.least("d.dist", "r.nd").alias("dist"))
+        )
+    return dist
+
+
+q_graph_shortest_path.__doc__ = q_graph_shortest_path.__doc__.format(
+    K=_SSSP_ITERS, S=_SSSP_SRC
+)
