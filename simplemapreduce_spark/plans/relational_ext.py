@@ -650,3 +650,42 @@ def q_scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_variants",
         )
     )
+
+
+@query(
+    "q_join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+)
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join with per-row LIMIT — "each
+    customer's two priciest orders" written as the SQL-standard
+    lateral form (identical text on both engines). The plan is the
+    interesting part: Catalyst DECORRELATES the per-customer limit
+    into a WindowGroupLimit with a PARTIAL pass before the exchange —
+    map-side top-k per key, so the shuffle carries at most 2 rows per
+    (customer, partition) instead of every order. Customers with no
+    orders drop out (inner lateral), deterministically on both
+    engines; ties cannot occur (o_orderkey ends the sort).
+
+    Scale shape: one hash exchange on the correlation key with
+    partial group-limits on both sides of it — strictly less data
+    moved than the join+window formulation it replaces
+    (q_topk_per_group), and no driver-side anything."""
+    from simplemapreduce_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )
