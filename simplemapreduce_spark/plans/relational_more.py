@@ -560,3 +560,40 @@ def q_source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataF
         F.count("extra_score").alias("n_with_score"),
         F.sum("extra_score").alias("sum_score"),
     )
+
+
+@query(
+    "q_agg_filter_clause",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE value > 100) AS n_big,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 100)
+                AS DOUBLE) AS sum_big,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 900) AS any_huge
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard aggregate FILTER clause plus the boolean aggregate
+    family (bool_and/bool_or) — the conditional-aggregation surface
+    beyond count_if (q_agg_conditional). Identical SQL text runs on
+    both engines; Spark evaluates the filters inside the hash
+    aggregate's partial pass (one scan, map-side combine), never as a
+    pre-filter self-join."""
+    from simplemapreduce_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE value > 100) AS n_big,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 100)
+                    AS DOUBLE) AS sum_big,
+               bool_and(value >= 0) AS all_nonneg,
+               bool_or(value > 900) AS any_huge
+        FROM events GROUP BY event_type
+        """
+    )
