@@ -647,3 +647,79 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
         F.round(F.avg("x"), 6).alias("mean_val")
     )
+
+
+@query(
+    "q_embedding_nearest_centroid",
+    oracle="""
+    WITH comp AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ), cm AS (
+      SELECT label, dim, CAST(ROUND(AVG(x), 6) AS DOUBLE) AS m
+      FROM comp GROUP BY label, dim
+    ), cent AS (
+      SELECT label AS c_label, list(m ORDER BY dim) AS cvec FROM cm GROUP BY label
+    ), v AS (
+      SELECT vec_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ), scored AS (
+      SELECT v.vec_id, v.true_label, c.c_label,
+             ROUND(list_cosine_similarity(v.e, c.cvec), 4) AS cs
+      FROM v CROSS JOIN cent c
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, c_label) AS rn
+      FROM scored
+    )
+    SELECT true_label, c_label AS pred_label, COUNT(*) AS n
+    FROM ranked WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def q_embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classifier evaluation: assign every vector
+    to its most-similar label centroid (the q_embedding_centroids
+    prototypes) and emit the confusion matrix against the true labels
+    — the standard embedding-quality probe (high diagonal mass =
+    separable classes). Centroid components are rounded to 6 dp on
+    BOTH engines before scoring (mean accumulation order differs),
+    and assignment ranks on ROUND(cos, 4) with a label tie-break, the
+    same determinism contract as the ANN queries.
+
+    Scale shape: the centroid table is (n_labels × dim) — KB-sized at
+    any corpus scale — built by one exploded partial-agg pass and
+    BROADCAST into the scoring pass, which is embarrassingly parallel
+    over the corpus (cross join against 10 rows, row-local cosine
+    fold, per-vector argmax via window over vec_id). Nothing
+    corpus-sized ever shuffles except the final confusion groupBy on
+    a (labels²)-sized key space."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    comp = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    cm = comp.groupBy("label", "dim").agg(F.round(F.avg("x"), 6).alias("m"))
+    cent = cm.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("cvec")
+    )
+    v = e.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "true_label",
+        "c_label",
+        F.round(cosine_similarity(F.col("e"), F.col("cvec")), 4).alias("cs"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", F.col("c_label").alias("pred_label"))
+        .agg(F.count("*").alias("n"))
+    )
