@@ -784,3 +784,71 @@ def q_ts_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_distinct_users")
         ).alias("merged_within_5pct"),
     )
+
+
+@query(
+    "q_ts_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), framed AS (
+      SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev3,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_n,
+             CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS BIGINT) AS next3,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS next_n
+      FROM daily
+    )
+    SELECT event_type, day, prev3, next3,
+           ABS(next3 - prev3) AS shift_cents
+    FROM framed
+    WHERE prev_n = 3 AND next_n = 3
+      AND 16 * ABS(next3 - prev3) > prev3 + next3
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift (changepoint) detection: for every day, compare the
+    trailing 3-day revenue window against the leading 3-day window per
+    series and flag RELATIVE shifts above 1/16th of the combined
+    window mass (16·|Δ| > prev3+next3) — the windowed CUSUM-style
+    detector behind metric alerting. A relative rule, not an absolute
+    one, so the probe stays non-vacuous at every scale factor (daily
+    sums grow ~linearly with SF while relative noise shrinks; an
+    absolute threshold is either silent at small SF or fires on
+    everything at large). Sums and the threshold comparison are exact
+    integer cents over full windows only — bit-exact on both engines,
+    no rounding contract needed at all.
+
+    Scale shape: the corpus-sized work is the daily pre-aggregate (one
+    partial+final groupBy); the window frames then slide over the
+    series×day table — orders of magnitude smaller — with one hash
+    exchange on the series key serving both frames and the final
+    filter."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = e.groupBy("event_type", day.alias("day")).agg(
+        F.sum(cents).cast("long").alias("cents")
+    )
+    prev_f = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, -1)
+    next_f = W.partitionBy("event_type").orderBy("day").rowsBetween(0, 2)
+    framed = daily.select(
+        "event_type",
+        "day",
+        F.sum("cents").over(prev_f).cast("long").alias("prev3"),
+        F.count("*").over(prev_f).alias("prev_n"),
+        F.sum("cents").over(next_f).cast("long").alias("next3"),
+        F.count("*").over(next_f).alias("next_n"),
+    )
+    shift = F.abs(F.col("next3") - F.col("prev3"))
+    return (
+        framed.filter((F.col("prev_n") == 3) & (F.col("next_n") == 3))
+        .filter(16 * shift > F.col("prev3") + F.col("next3"))
+        .select("event_type", "day", "prev3", "next3", shift.alias("shift_cents"))
+    )
