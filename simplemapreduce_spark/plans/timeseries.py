@@ -852,3 +852,57 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(16 * shift > F.col("prev3") + F.col("next3"))
         .select("event_type", "day", "prev3", "next3", shift.alias("shift_cents"))
     )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT a.day, a.user_id AS user_a, b.user_id AS user_b,
+           (epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s))) // 1000000
+             AS overlap_secs
+    FROM spans a JOIN spans b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP join: pairs of users whose purchase-activity
+    spans intersect, with the exact overlap duration — the interval
+    sibling of the point-in-range join (q_join_range). Closed-interval
+    predicate (touching endpoints count, overlap 0s); durations are
+    integer epoch-microsecond arithmetic floored to seconds, exact on
+    both engines.
+
+    Scale shape: the day bucket IS the equi-join key (each activity
+    span lives inside one day by construction), so the quadratic
+    overlap predicate runs only WITHIN buckets — the standard interval
+    binning that keeps overlap joins linear in bucket occupancy at
+    100 TB. Spans that crossed bucket boundaries would be replicated
+    into each touched bucket with a dedup on emit, exactly as
+    q_join_range_binned does for lookback windows."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    spans = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    a, b = spans.alias("a"), spans.alias("b")
+    overlap_us = epoch_micros(F.least(F.col("a.e"), F.col("b.e"))) - epoch_micros(
+        F.greatest(F.col("a.s"), F.col("b.s"))
+    )
+    return a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    ).select(
+        F.col("a.day").alias("day"),
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        F.floor(overlap_us / F.lit(1000000)).cast("long").alias("overlap_secs"),
+    )
