@@ -246,3 +246,49 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3)
         .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
     )
+
+
+@query(
+    "q_events_anomaly_seasonal",
+    oracle="""
+    WITH seasonal AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             AVG(value) AS mu, stddev_samp(value) AS sigma, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(EXTRACT(hour FROM e.ts) AS INT) AS hod,
+           CAST(ROUND((e.value - s.mu) / s.sigma, 4) AS DOUBLE) AS seasonal_z
+    FROM events e
+    JOIN seasonal s ON s.event_type = e.event_type
+                   AND s.hod = EXTRACT(hour FROM e.ts)
+    WHERE s.n >= 10 AND s.sigma > 0
+      AND ABS((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def q_events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL anomaly detection: z-scores against the
+    (series, hour-of-day) baseline instead of the global one
+    (q_events_anomaly) — the de-seasonalized detector that catches a
+    spike at 3am which would look normal against the all-day mean,
+    and stays quiet during a routinely-busy hour. Baselines with
+    fewer than 10 observations are excluded (no stable estimate),
+    identically on both engines.
+
+    Scale shape: the baseline table is (series × 24)-sized — one
+    aggregate pass, then broadcast back onto the stream; the detector
+    stays a single corpus scan at any size."""
+    e = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts")
+    seasonal = e.groupBy("event_type", hod.alias("hod")).agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count("*").alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.select("event_id", "event_type", hod.alias("hod"), "value")
+        .join(F.broadcast(seasonal), ["event_type", "hod"])
+        .filter((F.col("n") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 3))
+        .select("event_id", "event_type", "hod", F.round(z, 4).alias("seasonal_z"))
+    )
