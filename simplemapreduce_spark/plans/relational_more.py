@@ -597,3 +597,35 @@ def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
         """
     )
+
+
+@query(
+    "q_agg_percentile_cont",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.25), 4) AS DOUBLE) AS p25,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.75), 4) AS DOUBLE) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact INTERPOLATED percentiles (percentile_cont semantics) —
+    completing the quantile surface next to the discrete
+    (q_approx_quantiles at gate accuracy = quantile_disc) and
+    approximate (GK sketch) variants. Both engines compute the same
+    lo + (hi-lo)·frac interpolation over identical stored doubles at
+    rank p·(n−1); results rounded to 4 dp at the boundary absorb the
+    one-ulp differences the two engines' multiply orders can produce.
+
+    Scale shape: Spark's percentile() is a sort-based holistic
+    aggregate — per-group state O(group size); fine for
+    dimension-keyed groups, and the documented 100 TB fallback is
+    approx_percentile (q_approx_quantiles) when groups outgrow
+    memory."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
