@@ -149,3 +149,42 @@ def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).alias("total_chars"),
         F.min("value").alias("first_line"),
     )
+
+
+@query(
+    "q_mr_compat_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+      FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list
+    FROM tok GROUP BY token
+    """,
+)
+def q_mr_compat_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index — the third canonical MapReduce demo app beside
+    word count and sorted distinct tokens (the reference's test
+    workloads, /root/reference/src/mapreduce/common_test_suite.go:31-50):
+    mapF emits (word, doc_id), reduceF renders the sorted distinct
+    posting list. Here: explode + distinct + one groupBy with an
+    ordered collect, rendered as the comma-joined string the MR
+    formulation would write.
+
+    Scale shape: one shuffle on the token key; the posting list per
+    token is bounded by document frequency — at 100 TB the hot
+    stop-word keys are exactly the MAX_BUCKET/stop-shingle skew case,
+    handled by capping or sharding the posting list (documented in
+    plans/dedup.py); the fixture vocabulary (~31 tokens) makes every
+    posting list long, which stresses the ordered-collect path."""
+    from simplemapreduce_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token")).distinct()
+    return tok.groupBy("token").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_list"),
+    )
