@@ -114,3 +114,23 @@ def test_perplexity_buckets_balanced(spark, sf_dir):
     }
     assert set(counts) == {"head", "middle", "tail"}
     assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_vocab_coverage_nonvacuous(spark, sf_dir):
+    """Fixture-regeneration guard: the top-K vocabulary must NOT cover
+    the whole fixture vocabulary, or the OOV counting path verifies
+    vacuously (every n_oov = 0)."""
+    rows = catalog.QUERIES["q_text_vocab_coverage"](spark, sf_dir).collect()
+    assert any(r["n_oov"] > 0 for r in rows), (
+        "top-K vocab covers every token — shrink VOCAB_K for the new fixture"
+    )
+    assert any(r["n_oov"] == 0 or r["n_oov"] < r["n_tokens"] for r in rows)
+
+
+def test_line_dedup_nonvacuous(spark, sf_dir):
+    """Both line-dedup variants must actually remove lines at test
+    scale (duplicate and boilerplate lines exist in the fixture)."""
+    for name in ("q_dedup_lines", "q_dedup_lines_frequency"):
+        rows = catalog.QUERIES[name](spark, sf_dir).collect()
+        removed = sum(r["n_lines"] - r["n_lines_kept"] for r in rows)
+        assert removed > 0, f"{name} removed nothing — vacuous verification"
