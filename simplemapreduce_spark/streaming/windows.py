@@ -140,6 +140,49 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_global_agg",
+    oracle="""
+    SELECT COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS users_within_5pct
+    FROM events
+    """,
+)
+def q_stream_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNGROUPED streaming aggregate (complete mode): the single
+    running-totals row every monitoring dashboard keeps — count,
+    distinct users, total value — maintained incrementally with no
+    grouping key. Exact COUNT(DISTINCT) is UNSUPPORTED on streams
+    (Spark raises, pointing at approx_count_distinct) — so the stream
+    maintains the HLL++ sketch, the constant-memory state a streaming
+    distinct must be, and the result is verified with the
+    exact-count + bounds-witness contract (q_agg_hll_merge): a batch
+    pass supplies the exact count and the witness asserts the
+    streaming sketch landed within 5% (rsd=0.01, 5 sigma)."""
+    agg = stream_events(spark, sf_dir).agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    out = run_stream_to_table(agg, "complete")
+    from simplemapreduce_spark.sources.tables import load_table
+
+    exact = load_table(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return out.crossJoin(F.broadcast(exact)).select(
+        "n_events",
+        "total_value",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("users_within_5pct"),
+    )
+
+
+@query(
     "q_stream_chained_agg",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
