@@ -197,8 +197,18 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part marginals and the order count are tiny aggregates AQE
     broadcasts into the lift join. Deterministic top-{TOP} on
     (support DESC, part_a, part_b) compiles to TakeOrderedAndProject."""
+    from simplemapreduce_spark.cache import memo_persist, table_stamp
+
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # The distinct order-part table feeds FOUR branches (baskets, both
+    # marginals, the order count); Spark has no cross-branch subtree
+    # reuse, so persist it once — at 100 TB this is the materialized
+    # basket table every itemset pass starts from.
+    op = memo_persist(
+        li.select("l_orderkey", "l_partkey").distinct(),
+        f"basket.order_parts:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
+    )
     n_orders = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     pc = op.groupBy("l_partkey").agg(F.count("*").alias("n_with"))
     baskets = op.groupBy("l_orderkey").agg(

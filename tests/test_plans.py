@@ -355,3 +355,36 @@ def test_dedup_lines_no_python_udf(spark, sf_dir):
     for name in ("q_dedup_lines", "q_dedup_lines_frequency"):
         plan = _plan(catalog.QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_lateral_topn_decorrelates_to_group_limit(spark, sf_dir):
+    """The correlated LATERAL LIMIT must rewrite to WindowGroupLimit
+    with a Partial pass below the exchange (map-side top-k), never a
+    per-row nested-loop re-execution."""
+    import re
+
+    plan = _plan(catalog.QUERIES["q_join_lateral_topn"](spark, sf_dir))
+    # partial + final group-limit = two distinct WindowGroupLimit nodes
+    nodes = set(re.findall(r"\((\d+)\) WindowGroupLimit", plan))
+    assert len(nodes) >= 2, plan[:500]
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+
+
+def test_market_basket_no_self_join(spark, sf_dir):
+    """Pair candidates must come from row-local basket expansion (one
+    Generate over collected baskets), not a quadratic self-join of the
+    exploded order-part table."""
+    import re
+
+    plan = _plan(catalog.QUERIES["q_market_basket_pairs"](spark, sf_dir))
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    # the shared order-part subtree must be served from cache, not
+    # re-scanned per branch
+    assert "InMemoryTableScan" in plan
+
+
+def test_nearest_centroid_broadcasts_prototypes(spark, sf_dir):
+    plan = _plan(catalog.QUERIES["q_embedding_nearest_centroid"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
