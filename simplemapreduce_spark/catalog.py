@@ -140,6 +140,7 @@ def load_all() -> None:
         subqueries,
         dedup,
         extensions,
+        frequency,
         graph,
         llm_text,
         merge,

@@ -188,3 +188,84 @@ def q_mr_compat_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_list"),
     )
+
+
+def _secondary_sort_reduce(batches):
+    """Streaming reducer over a key-grouped, value-sorted partition
+    stream: O(1) state per group (8 buffered types + a counter), with
+    group runs stitched across Arrow batch boundaries."""
+    import pandas as pd
+
+    cur_uid = None
+    cur_types: list = []
+    cur_n = 0
+    out: dict = {"user_id": [], "path8": [], "n_events": []}
+    for pdf in batches:
+        for uid, etype in zip(pdf["user_id"], pdf["event_type"]):
+            if uid != cur_uid:
+                if cur_uid is not None:
+                    out["user_id"].append(cur_uid)
+                    out["path8"].append(">".join(cur_types))
+                    out["n_events"].append(cur_n)
+                cur_uid, cur_types, cur_n = uid, [], 0
+            cur_n += 1
+            if len(cur_types) < 8:
+                cur_types.append(etype)
+    if cur_uid is not None:
+        out["user_id"].append(cur_uid)
+        out["path8"].append(">".join(cur_types))
+        out["n_events"].append(cur_n)
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series(out["user_id"], dtype="int64"),
+            "path8": pd.Series(out["path8"], dtype=object),
+            "n_events": pd.Series(out["n_events"], dtype="int64"),
+        }
+    )
+
+
+@query(
+    "mr_secondary_sort",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path8,
+           CAST(MAX(n_events) AS BIGINT) AS n_events
+    FROM r WHERE rn <= 8
+    GROUP BY user_id
+    """,
+)
+def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical MapReduce secondary sort: each user's first-8
+    event-type path in (ts, event_id) order, computed by sorting
+    VALUES inside the shuffle rather than inside the reducer.
+
+    The reference's reduce contract hands the reducer an unordered
+    in-memory slice of all values for a key
+    (/root/reference/src/mapreduce/common_reduce.go:51-87) — sorting
+    there is O(group) memory and dies on a billion-event user. The MR
+    secondary-sort pattern instead makes (key, sort-cols) the shuffle
+    sort key: here `repartition(user_id)` + `sortWithinPartitions
+    (user_id, ts, event_id)` — Spark's sort-based shuffle machinery,
+    the DataFrame spelling of repartitionAndSortWithinPartitions — so
+    the Arrow reducer streams key-grouped, value-sorted runs with O(1)
+    state per group and never materializes a group, stitching runs
+    across batch boundaries. A window-function formulation would give
+    the same answer; this one exists to exercise the partition-stream
+    reduce contract at bounded memory (the shape that survives skewed
+    keys at 100 TB)."""
+    e = load_table(spark, sf_dir, "events")
+    stream = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select("user_id", "event_type")
+    )
+    return stream.mapInPandas(
+        _secondary_sort_reduce, "user_id long, path8 string, n_events long"
+    )

@@ -184,3 +184,37 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "q_ts_asof_nearest",
     ):
         assert run(name, 3) == run(name, 17), name
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(40)]), min_size=0, max_size=400
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_mg_sketch_candidates_superset_of_heavy_hitters(stream, batches_n):
+    """Misra-Gries candidate guarantee (no Spark): for ANY batching of
+    the stream, the sketch output contains every item with frequency
+    > n/(cap+1) — the superset property q_heavy_hitters' exact verify
+    pass relies on. Exercised at a tiny capacity so evictions happen."""
+    import pandas as pd
+
+    from simplemapreduce_spark.plans import frequency as fq
+
+    cap = 8
+    # Temporarily shrink the capacity so the subtract-rule path runs.
+    orig = fq._MG_CAP
+    fq._MG_CAP = cap
+    try:
+        # Split the stream into token-array "documents" across batches.
+        docs = [stream[i::batches_n] for i in range(batches_n)]
+        batches = [pd.DataFrame({"toks": [d]}) for d in docs]
+        out = list(fq._mg_sketch_partition(iter(batches)))
+        got = set(out[0]["token"])
+    finally:
+        fq._MG_CAP = orig
+    n = len(stream)
+    true_counts = Counter(stream)
+    heavy = {t for t, c in true_counts.items() if c * (cap + 1) > n}
+    assert heavy <= got, f"missing heavy hitters: {heavy - got}"
