@@ -94,12 +94,14 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(fn(spark, SF_DIR))
         cold[name] = round(time.perf_counter() - t0, 3)
-        # Steady state = best of four post-warmup runs (JIT tiering on
-        # the heaviest codegen takes 3-4 executions — the IVF search
-        # measured 2.2s on run 2 and 0.9s by run 5; min is the
-        # standard de-noising estimator).
+        # Steady state = best of six post-warmup runs (JIT tiering on
+        # the heaviest interpreted-HOF queries takes ~5 executions —
+        # minhash-LSH profiled at 2.5/5.0/2.2/1.4/1.0/1.3 s across
+        # post-cold runs 1-6; best-of-4 stopped one tier short and
+        # over-reported it by ~40%. min is the standard de-noising
+        # estimator).
         best = float("inf")
-        for _ in range(4):
+        for _ in range(6):
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
