@@ -144,6 +144,7 @@ def load_all() -> None:
         graph,
         llm_text,
         merge,
+        modern_sql,
         mr_compat,
         quality,
         relational,

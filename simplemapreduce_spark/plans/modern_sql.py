@@ -1,0 +1,188 @@
+"""Spark 4 SQL-surface operators: SQL scripting (BEGIN/END control
+flow), exact distinct via bitmap aggregates, ANSI LISTAGG, and the
+mergeable approx_top_k sketch lifecycle.
+
+Extension scope: the reference exposes exactly one entry point — a
+string-pair MapReduce job (/root/reference/src/mapreduce/master.go:
+60-88). A user switching to this engine gets the current Spark SQL
+surface on the same tables; this module covers the Spark-4 additions
+that the rest of the catalog doesn't already exercise, each with the
+pattern that makes it scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.sources.tables import load_table, register_tables
+
+
+@query(
+    "q_sql_scripting",
+    oracle="""
+    WITH big AS (SELECT COUNT(*) > 5000 AS b FROM orders),
+    cutoff AS (SELECT MAX(o_totalprice) * 0.5 AS c FROM orders),
+    by_priority AS (
+      SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n_above
+      FROM orders WHERE o_totalprice > (SELECT c FROM cutoff)
+      GROUP BY o_orderpriority
+    ),
+    by_status AS (
+      SELECT o_orderstatus AS grp, CAST(COUNT(*) AS BIGINT) AS n_above
+      FROM orders WHERE o_totalprice > (SELECT c FROM cutoff)
+      GROUP BY o_orderstatus
+    )
+    SELECT grp, n_above FROM by_priority WHERE (SELECT b FROM big)
+    UNION ALL
+    SELECT grp, n_above FROM by_status WHERE NOT (SELECT b FROM big)
+    """,
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4): DECLARE/SET variables + IF/ELSE control
+    flow inside one BEGIN..END block — procedural orchestration that
+    previously needed driver-side Python glue.
+
+    The script derives a cutoff (half the max order price — exact
+    double arithmetic on both engines, no summation-order ambiguity),
+    then branches on table size: large tables aggregate by priority,
+    small ones by status. The oracle mirrors the branch with pure SQL
+    (both branches computed, one selected), so the driver verifies the
+    control flow took the same path at every scale factor. Each
+    statement inside the block is still a full Catalyst plan —
+    scripting changes orchestration, not execution."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff DOUBLE;
+          DECLARE is_big BOOLEAN;
+          SET cutoff = (SELECT MAX(o_totalprice) * 0.5 FROM orders);
+          SET is_big = (SELECT COUNT(*) > 5000 FROM orders);
+          IF is_big THEN
+            SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n_above
+            FROM orders WHERE o_totalprice > cutoff
+            GROUP BY o_orderpriority;
+          ELSE
+            SELECT o_orderstatus AS grp, CAST(COUNT(*) AS BIGINT) AS n_above
+            FROM orders WHERE o_totalprice > cutoff
+            GROUP BY o_orderstatus;
+          END IF;
+        END
+        """
+    )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts per event type via two-level bitmap
+    aggregation (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_count) instead of COUNT(DISTINCT).
+
+    Scale shape: COUNT(DISTINCT) over a high-cardinality key forces
+    Catalyst to shuffle the full (group, key) distinct expansion. The
+    bitmap formulation shuffles CONSTANT-SIZE state instead: stage 1
+    groups by (event_type, bucket) — each bucket covers 32768 ids and
+    aggregates to one ≤4 KB bitmap via bitwise OR, mergeable and
+    partial/final like SUM — and stage 2 sums per-bucket popcounts.
+    State is O(id-range / 32768) bitmaps per group, independent of row
+    count: the standard exact-distinct production pattern when HLL
+    (q_agg_hll_merge) is not allowed to be approximate."""
+    e = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.withColumn("cnt", F.expr("bitmap_count(bm)"))
+        .groupBy("event_type")
+        .agg(F.sum("cnt").cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+             ) AS rk
+      FROM customer
+    )
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY rk) AS top_names,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked WHERE rk <= 3
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG ... WITHIN GROUP (ORDER BY ...) — Spark 4's
+    ordered string aggregation — rendering each nation's top-3
+    customers by balance as one comma-joined field.
+
+    Scale shape: the top-3 cut runs as WindowGroupLimit (per-partition
+    top-k before the window shuffle), so LISTAGG only ever aggregates
+    3 rows per group — the guard that keeps ordered string aggregation
+    bounded when a group has millions of rows. Rank ties broken by
+    unique c_custkey, so the string is deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    )
+    ranked = c.withColumn("rk", rk).filter(F.col("rk") <= 3)
+    return ranked.groupBy("c_nationkey").agg(
+        F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY rk)").alias("top_names"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@query(
+    "q_approx_top_k_lifecycle",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_top_k_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items sketch lifecycle: accumulate partial
+    approx_top_k sketches per day bucket, combine them into one, then
+    estimate — the accumulate/combine/estimate trio Spark 4 exposes
+    for reusable sketch columns (same lifecycle as q_agg_hll_merge's
+    HLL union, here for item frequencies).
+
+    Oracled EXACTLY by the same contract as the catalog's
+    percentile_approx and HLL entries: with maxItemsTracked (10000) at
+    least the true cardinality (event types are a small closed set)
+    the sketch degenerates to exact counts, and k (50) above the
+    cardinality means no tie-at-boundary ambiguity — so the DuckDB
+    GROUP BY is an exact oracle while the Spark side still exercises
+    the real sketch accumulate/combine/estimate path a 1000-executor
+    rollup would run per partition/day/merge level."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 10000)").alias("sk")
+    )
+    combined = daily.agg(F.expr("approx_top_k_combine(sk, 10000)").alias("sk"))
+    est = combined.select(F.explode(F.expr("approx_top_k_estimate(sk, 50)")).alias("r"))
+    return est.select(
+        F.col("r.item").alias("item"), F.col("r.count").cast("long").alias("cnt")
+    )
