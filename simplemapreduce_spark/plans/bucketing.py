@@ -191,3 +191,67 @@ def normalize_to_bits(col, lo, hi, bits: int = 16):
     span = max(hi - lo, 1e-12)
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(span) * ((1 << bits) - 1)
     return F.least(F.lit((1 << bits) - 1), F.greatest(F.lit(0), scaled.cast("long")))
+
+
+_Z_BITS = 8
+# DuckDB mirror of zorder_value for 8-bit dims: 16 arithmetic terms.
+_Z_SQL = " + ".join(
+    f"(((za // {1 << i}) % 2) * {1 << (2 * i + 1)}) + (((zb // {1 << i}) % 2) * {1 << (2 * i)})"
+    for i in range(_Z_BITS)
+)
+
+
+@query(
+    "q_layout_zorder",
+    oracle=f"""
+    WITH dims AS (
+      SELECT (o_custkey % 256) AS za,
+             (((date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256) + 256) % 256) AS zb
+      FROM orders
+    ),
+    z AS (SELECT za, zb, ({_Z_SQL}) AS zval FROM dims)
+    SELECT CAST(zval // 1024 AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(za) AS BIGINT) AS min_cust, CAST(MAX(za) AS BIGINT) AS max_cust,
+           CAST(MIN(zb) AS BIGINT) AS min_day, CAST(MAX(zb) AS BIGINT) AS max_day
+    FROM z GROUP BY 1
+    """,
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout summary: interleave customer and
+    order-day into one clustering key, bucket the keyspace, and report
+    each bucket's span on BOTH source dimensions — the min/max stats a
+    parquet writer would persist per row group after an OPTIMIZE
+    ZORDER-style rewrite.
+
+    The point the output makes: every z-bucket covers a narrow range
+    of customer AND day simultaneously (max_cust - min_cust and
+    max_day - min_day are both ~1/8 of the domain for 64 buckets),
+    which is exactly why row-group min/max pruning works on either
+    predicate after a z-order write — a plain sort gets one dimension
+    tight and the other spanning the full domain.
+
+    Scale shape: the interleave is a static 16-term bitwise expression
+    (zorder_value above — JVM codegen, no UDF), the normalization is
+    row-local modular arithmetic, and the summary is one partial/final
+    groupBy on the bucket key. The actual production write is
+    repartitionByRange(zval) + sortWithinPartitions(zval) — asserted
+    to prune on both dimensions in tests/test_storage_layout.py."""
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        F.pmod(F.col("o_custkey"), F.lit(256)).cast("long").alias("za"),
+        F.pmod(F.datediff("o_orderdate", F.lit("1992-01-01")), F.lit(256))
+        .cast("long")
+        .alias("zb"),
+    )
+    z = dims.withColumn("zval", zorder_value(F.col("za"), F.col("zb"), bits=_Z_BITS))
+    return (
+        z.groupBy((F.col("zval") / 1024).cast("long").alias("zbucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("za").cast("long").alias("min_cust"),
+            F.max("za").cast("long").alias("max_cust"),
+            F.min("zb").cast("long").alias("min_day"),
+            F.max("zb").cast("long").alias("max_day"),
+        )
+    )

@@ -723,3 +723,75 @@ def q_embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", F.col("c_label").alias("pred_label"))
         .agg(F.count("*").alias("n"))
     )
+
+
+_SEM_TH = 0.35
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    pairs AS (
+      SELECT a.vec_id AS kept_id, b.vec_id AS dup_id,
+             ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= {_SEM_TH}
+    ),
+    first_match AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY dup_id ORDER BY kept_id) AS rk
+      FROM pairs
+    )
+    SELECT dup_id, kept_id, cos_sim FROM first_match WHERE rk = 1
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop items
+    whose cosine to a lower-id clustermate exceeds the threshold —
+    pairwise comparison happens only WITHIN a cluster, never across
+    the corpus. Each duplicate reports the lowest-id keeper that
+    flagged it (deterministic keep rule).
+
+    Scale shape: cluster assignment is the IVF row-local broadcast
+    argmin (corpus never shuffles to build the index); the candidate
+    join is an equi-join on cell, so comparison cost is sum of
+    cluster-size² — bounded by choosing the centroid count so clusters
+    hold ~sqrt-of-corpus items, exactly the SemDedup paper's cost
+    model (clusters here are the deterministic first-K 'training' the
+    IVF entries share; k-means‖ in operators/kmeans.py is the trained
+    upgrade). Threshold kept at the fixture-calibrated {_SEM_TH} so
+    the probe is non-vacuous at every SF (same constant as
+    q_dedup_embedding_cosine)."""
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    cents = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+    d_expr = (
+        "round(sqrt(aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)), 4)"
+    )
+    cells_sorted = f"array_sort(transform(cents, c -> struct({d_expr} as d, c.cid as cid)))"
+    assign = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "e", F.expr(f"element_at({cells_sorted}, 1).cid").alias("cell")
+    )
+    a = assign.select(
+        F.col("cell"), F.col("vec_id").alias("kept_id"), F.col("e").alias("ae")
+    )
+    b = assign.select(
+        F.col("cell"), F.col("vec_id").alias("dup_id"), F.col("e").alias("be")
+    )
+    cos = cosine_similarity(F.col("ae"), F.col("be"))
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("kept_id") < F.col("dup_id"))
+        .filter(cos >= _SEM_TH)
+        .select("kept_id", "dup_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("dup_id").orderBy("kept_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("dup_id", "kept_id", "cos_sim")
+    )
