@@ -388,3 +388,52 @@ def test_nearest_centroid_broadcasts_prototypes(spark, sf_dir):
     plan = _plan(catalog.QUERIES["q_embedding_nearest_centroid"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_heavy_hitters_candidate_join_broadcasts(spark, sf_dir):
+    """The exact verify pass must broadcast the (bounded) candidate
+    set so the token stream is filtered before its groupBy — the
+    property that bounds reduce-side state by |candidates|, not
+    vocabulary."""
+    df = catalog.QUERIES["q_heavy_hitters"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bitmap_distinct_no_expand(spark, sf_dir):
+    """The bitmap formulation must not fall back to Catalyst's
+    distinct Expand: both levels run as plain partial/final hash
+    aggregates over mergeable bitmap state."""
+    df = catalog.QUERIES["q_agg_bitmap_distinct"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_listagg_top3_uses_window_group_limit(spark, sf_dir):
+    """The top-3 cut must run as WindowGroupLimit (per-partition top-k
+    before the window shuffle), keeping the ordered aggregation's
+    input bounded per group."""
+    df = catalog.QUERIES["q_agg_listagg"](spark, sf_dir)
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_zorder_layout_single_scan_no_shuffle_before_agg(spark, sf_dir):
+    """The interleave is row-local codegen'd expression work: exactly
+    one exchange (the final groupBy on zbucket), no Python."""
+    df = catalog.QUERIES["q_layout_zorder"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exec_plan.count("Exchange hashpartitioning") == 1, exec_plan
+
+
+def test_semantic_dedup_assignment_is_broadcast(spark, sf_dir):
+    """Cluster assignment must be the row-local broadcast argmin (a
+    BroadcastNestedLoopJoin against the one-row centroid array), and
+    the pairwise stage an equi-join on cell — never a corpus
+    cross-join."""
+    df = catalog.QUERIES["q_dedup_semantic"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
