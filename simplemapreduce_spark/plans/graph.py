@@ -244,3 +244,81 @@ def q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_graph_shortest_path.__doc__ = q_graph_shortest_path.__doc__.format(
     K=_SSSP_ITERS, S=_SSSP_SRC
 )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the co-purchase graph (parts are
+    adjacent when ≥2 orders contain both) — the canonical distributed
+    graph benchmark behind clustering-coefficient and community
+    features.
+
+    Edges are canonically oriented u < v, so each triangle a<b<c is
+    enumerated exactly once: wedge join (a,b)⋈(b,c) on the middle
+    node, then a closing equi-join on (a,c). Scale shape: both joins
+    are hash equi-joins on node keys; the wedge count — the quadratic
+    danger on skewed degree — is bounded because the support-≥2 edge
+    filter caps degree the same way production triangle counting
+    prunes hubs (count-then-filter by degree is the standard
+    refinement, same two-shuffle shape). The basket/edge subtree is
+    shared with q_market_basket_pairs via the same memoized order-part
+    table, and per-node counts are one final explode + groupBy of the
+    (tiny) triangle set."""
+    from simplemapreduce_spark.cache import memo_persist, table_stamp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = memo_persist(
+        li.select("l_orderkey", "l_partkey").distinct(),
+        f"basket.order_parts:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
+    )
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = F.expr(
+        "explode(flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v)))))"
+    )
+    e = (
+        baskets.select(pair_expr.alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("u", "v")
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
