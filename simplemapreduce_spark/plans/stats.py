@@ -292,3 +292,137 @@ def q_events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 3))
         .select("event_id", "event_type", "hod", F.round(z, 4).alias("seasonal_z"))
     )
+
+
+@query(
+    "q_drift_psi",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                       MAX(CAST(o_orderdate AS DATE))) AS span
+      FROM orders
+    ),
+    tagged AS (
+      SELECT LEAST(CAST(o_totalprice AS BIGINT) // 50000, 9) AS bin,
+             CASE WHEN date_diff('day', (SELECT lo FROM bounds),
+                                 CAST(o_orderdate AS DATE)) * 2
+                       <= (SELECT span FROM bounds)
+                  THEN 'a' ELSE 'b' END AS half
+      FROM orders
+    ),
+    c AS (
+      SELECT bin,
+             COUNT(*) FILTER (half = 'a') AS n_a,
+             COUNT(*) FILTER (half = 'b') AS n_b
+      FROM tagged GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM c)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(ROUND(
+             ((CAST(n_b AS DOUBLE) + 1) / (tb + 10)
+              - (CAST(n_a AS DOUBLE) + 1) / (ta + 10))
+             * ln(((CAST(n_b AS DOUBLE) + 1) / (tb + 10))
+                  / ((CAST(n_a AS DOUBLE) + 1) / (ta + 10))), 6) AS DOUBLE) AS psi_term
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the order-date range, over fixed-width price bins — the standard
+    train/serve drift monitor for a feature column (PSI > 0.2 = major
+    shift). Laplace-smoothed shares (+1/+10) keep empty bins finite,
+    identically on both engines.
+
+    The date cutoff is derived from the data (midpoint of min/max), so
+    the probe stays non-vacuous whatever date range a regenerated
+    fixture ships. Scale shape: one scan computes the min/max bounds
+    (tiny aggregate, broadcast back); a second scan bins and tags each
+    row (row-local), then one partial/final groupBy on the 10-bin key;
+    the totals join is a broadcast of one row. Integer bin counts make
+    the double PSI arithmetic identical on both engines; rounded at
+    the boundary."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("span"),
+    )
+    tagged = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(F.col("o_totalprice").cast("bigint") / 50000, F.lit(9))
+            .cast("bigint")
+            .alias("bin"),
+            F.when(
+                F.datediff(F.col("o_orderdate").cast("date"), F.col("lo")) * 2
+                <= F.col("span"),
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("half"),
+        )
+    )
+    c = tagged.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == "a", 1)).alias("n_a"),
+        F.count(F.when(F.col("half") == "b", 1)).alias("n_b"),
+    )
+    tot = c.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = (F.col("n_a").cast("double") + 1) / (F.col("ta") + 10)
+    pb = (F.col("n_b").cast("double") + 1) / (F.col("tb") + 10)
+    return c.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_term"),
+    )
+
+
+@query(
+    "q_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, median(ABS(e.value - med.m)) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(ROUND((e.value - med.m) / (1.4826 * mad.mad), 4) AS DOUBLE)
+             AS robust_z
+    FROM events e
+    JOIN med USING (event_type) JOIN mad USING (event_type)
+    WHERE ABS((e.value - med.m) / (1.4826 * mad.mad)) > 3.5
+    """,
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    breakdown-resistant twin of q_events_anomaly's z-score (a few
+    extreme values inflate mean/stddev and mask outliers; median/MAD
+    are immune up to 50% contamination). 1.4826 rescales MAD to sigma
+    under normality; |robust z| > 3.5 is the Iglewicz-Hoaglin cut.
+
+    Scale shape: two holistic median aggregates over dimension-keyed
+    groups (per-type state, same contract as q_agg_percentile_cont —
+    approx_percentile is the documented fallback when a group outgrows
+    an executor), each result a vocabulary-sized table broadcast back
+    onto the stream; the detector itself is one scan. Both engines
+    interpolate medians over identical doubles; rounded at the
+    boundary."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    e_med = e.join(F.broadcast(med), "event_type")
+    mad = e_med.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("mad")
+    )
+    z = (F.col("value") - F.col("m")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        e_med.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(z) > 3.5)
+        .select("event_id", "event_type", F.round(z, 4).alias("robust_z"))
+    )
