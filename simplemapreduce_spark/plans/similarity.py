@@ -480,12 +480,14 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload per corpus row is {M} bytes of codes, not 64 doubles
     (64x compression), the ADC scan is a pure row-local map over a
     broadcast table (zero corpus shuffle), and only the shortlist
-    (queries x {R}k rows) ever touches full vectors again. Training
-    reuses the distributed Lloyd's module (operators/kmeans.py) per
-    subspace; iterative training has no one-SQL oracle, so the entry
+    (queries x {R}k rows) ever touches full vectors again. All {M}
+    sub-codebooks train JOINTLY (kmeans_fit_grouped: the corpus
+    restructured to (subspace, vec_id, subvec) rows, one Spark action
+    per Lloyd iteration for every codebook at once — not M sequential
+    fits); iterative training has no one-SQL oracle, so the entry
     is rows-only with recall-vs-exact asserted in
     tests/test_quality_bounds.py.""".format(M=M_SUB, K=K_PQ, R=PQ_RERANK)
-    from simplemapreduce_spark.operators.kmeans import kmeans_fit
+    from simplemapreduce_spark.operators.kmeans import kmeans_fit_grouped
 
     v = _vectors(spark, sf_dir)
     # PQ quantizes L2, the baseline ranks by cosine: unit-normalizing
@@ -498,13 +500,23 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vn = v.select("vec_id", F.transform("e", lambda x: x / norm).alias("e"))
     dim_sub = 64 // M_SUB
 
-    # Train one codebook per subspace (k x dim_sub literals each).
-    cb_rows = []
-    for m in range(M_SUB):
-        sub = vn.select("vec_id", F.slice("e", m * dim_sub + 1, dim_sub).alias("e"))
-        cent = kmeans_fit(sub, k=K_PQ, iters=2)
-        cb_rows.extend((m, r["cid"], r["ce"]) for r in cent.collect())
-    cb = spark.createDataFrame(cb_rows, "m int, cid bigint, ce array<double>")
+    # Train all M codebooks jointly: one (subspace, vec_id, subvec)
+    # table, one action per Lloyd iteration (see kmeans_fit_grouped).
+    subs = vn.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("g"),
+                        F.slice("e", m * dim_sub + 1, dim_sub).alias("e"),
+                    )
+                    for m in range(M_SUB)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.g").alias("g"), "vec_id", F.col("s.e").alias("e"))
+    cb = kmeans_fit_grouped(subs, k=K_PQ, iters=2).withColumnRenamed("g", "m")
     # One broadcast row: codebooks[m+1] = cid-ordered list of centroids.
     books = (
         cb.groupBy("m")
