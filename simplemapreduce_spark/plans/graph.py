@@ -304,13 +304,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explode(flatten(transform(parts, (x, i) ->"
         " transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v)))))"
     )
-    e = (
+    # Three join branches reference the edge table; Spark has no
+    # cross-branch subtree reuse, so persist it once (same rationale
+    # and cache key discipline as the basket/TF-IDF subtrees).
+    e = memo_persist(
         baskets.select(pair_expr.alias("p"))
         .select("p.u", "p.v")
         .groupBy("u", "v")
         .agg(F.count("*").alias("s"))
         .filter(F.col("s") >= 2)
-        .select("u", "v")
+        .select("u", "v"),
+        f"graph.copurchase_edges:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
