@@ -91,3 +91,69 @@ def q_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token, t.run_len "
         "FROM smr_docs_udtf d, LATERAL token_runs(d.text) t"
     )
+
+
+class ExtractProps:
+    """Polymorphic UDTF: output schema is DERIVED AT PLAN TIME by
+    ``analyze`` from the constant key-list argument — one BIGINT
+    column per requested JSON key. The Spark-4 'dynamic schema'
+    contract (a static returnType cannot express it); SQL users write
+    LATERAL extract_props(props, 'k,missing') and get columns k,
+    missing."""
+
+    @staticmethod
+    def analyze(props, keys):
+        from pyspark.sql.types import LongType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if keys.value is None:
+            raise ValueError("extract_props: key list must be a constant string")
+        names = [k.strip() for k in str(keys.value).split(",") if k.strip()]
+        return AnalyzeResult(StructType([StructField(n, LongType()) for n in names]))
+
+    def eval(self, props, keys):  # noqa: D102 — UDTF contract
+        import json
+
+        names = [k.strip() for k in str(keys).split(",") if k.strip()]
+        try:
+            d = json.loads(props) if props else {}
+        except ValueError:
+            d = {}
+        yield tuple(int(d[n]) if d.get(n) is not None else None for n in names)
+
+
+@query(
+    "q_udtf_polymorphic",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS missing
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 95
+    """,
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-polymorphic UDTF (Spark 4 ``analyze``): the requested
+    key list 'k,missing' becomes the output schema at plan time — the
+    'k' column carries extracted values, 'missing' (absent from every
+    props payload) materializes as a typed NULL column, proving the
+    schema really came from analyze() and not from the data.
+
+    Scale shape: the UDTF runs inside the scan stage row-locally (no
+    shuffle), and the selective k >= 95 predicate — applied to the
+    UDTF's OUTPUT — bounds what survives; per-row JSON decoding in
+    Python is the price of the polymorphic contract (the static-schema
+    fast path is get_json_object, q_scalar_json)."""
+    from simplemapreduce_spark.session import ensure_package_shipped
+    from simplemapreduce_spark.sources.tables import load_table
+
+    ensure_package_shipped(spark)
+    from pyspark.sql.functions import udtf as _udtf_fn
+
+    spark.udtf.register("extract_props", _udtf_fn(ExtractProps))
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("smr_events_udtf")
+    return spark.sql(
+        "SELECT e.event_id, t.k, t.missing "
+        "FROM smr_events_udtf e, LATERAL extract_props(e.props, 'k,missing') t "
+        "WHERE t.k >= 95"
+    )
