@@ -426,3 +426,65 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3.5)
         .select("event_id", "event_type", F.round(z, 4).alias("robust_z"))
     )
+
+
+@query(
+    "q_histogram_equidepth",
+    oracle="""
+    WITH e AS (
+      SELECT [quantile_disc(o_totalprice, 0.1), quantile_disc(o_totalprice, 0.2),
+              quantile_disc(o_totalprice, 0.3), quantile_disc(o_totalprice, 0.4),
+              quantile_disc(o_totalprice, 0.5), quantile_disc(o_totalprice, 0.6),
+              quantile_disc(o_totalprice, 0.7), quantile_disc(o_totalprice, 0.8),
+              quantile_disc(o_totalprice, 0.9)] AS edges
+      FROM orders
+    )
+    SELECT CAST(len(list_filter(e.edges, x -> o.o_totalprice > x)) AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o.o_totalprice) AS lo,
+           MAX(o.o_totalprice) AS hi
+    FROM orders o CROSS JOIN e
+    GROUP BY 1
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram construction — the optimizer
+    statistic every cost-based planner builds: decile edges over the
+    price column, then per-bucket row count and actual bounds.
+
+    Edges are DISCRETE percentiles (approx_percentile at exact-mode
+    accuracy = stored data values, bit-identical to DuckDB's
+    quantile_disc — the same exactness contract as q_approx_quantiles),
+    so bucket assignment (count of edges strictly below the value) is
+    a pure double comparison that can never flip between engines; no
+    interpolation arithmetic enters the compare. Skewed duplicates
+    land in one bucket (n > N/10) — the real histogram semantic, not a
+    forced uniform split.
+
+    Scale shape: one percentile aggregate produces the 9-edge array
+    (at 100 TB you lower the accuracy knob and get the same plan with
+    epsilon-rank edges); the edge row broadcasts; bucketing is a
+    row-local array filter; counts/bounds run partial/final. No global
+    sort, no single-partition window — the NTILE formulation would
+    funnel the corpus through one task."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = ", ".join(str(q / 10) for q in range(1, 10))
+    edges = o.agg(
+        F.expr(f"approx_percentile(o_totalprice, array({qs}), 1000000)").alias("edges")
+    )
+    return (
+        o.crossJoin(F.broadcast(edges))
+        .select(
+            F.expr("CAST(size(filter(edges, x -> o_totalprice > x)) AS BIGINT)").alias(
+                "bucket"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
