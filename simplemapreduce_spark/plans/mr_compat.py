@@ -269,3 +269,47 @@ def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.mapInPandas(
         _secondary_sort_reduce, "user_id long, path8 string, n_events long"
     )
+
+
+@query(
+    "mr_distributed_grep",
+    oracle=r"""
+    SELECT text AS line,
+           CAST(COUNT(*) AS BIGINT) AS n_dup,
+           CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT) AS n_hits
+    FROM documents
+    WHERE regexp_matches(text, '\bspark\b')
+    GROUP BY text
+    """,
+)
+def mr_distributed_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep — the original MapReduce paper's canonical
+    example (Dean & Ghemawat, OSDI 2004 §2.1: map emits a line if it
+    matches the pattern; the identity reduce just merges): matching
+    lines with duplicate count and per-line hit count, through the
+    same text-corpus round-trip as q_source_text_lines (write
+    documents.text as a plain-text corpus, scan it back line-by-line).
+
+    Scale shape: the regex filter runs inside the scan stage on the
+    splittable line source — a selective predicate drops non-matching
+    lines BEFORE the dedup groupBy, so the shuffle carries only
+    matches; per-line hit counting is a row-local regexp_extract_all.
+    The reference would run this as mapF = regex test + emit
+    (/root/reference/src/mapreduce/common_map.go:64-71); here the scan,
+    filter, and merge are one declarative plan."""
+    from simplemapreduce_spark.scratch import scratch_dir
+    from simplemapreduce_spark.sources.text import read_lines
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    path = scratch_dir("docs_grep", sf_dir)
+    docs.write.mode("overwrite").text(path)
+    lines = read_lines(spark, path)
+    pat = r"\bspark\b"
+    return (
+        lines.filter(F.col("value").rlike(pat))
+        .groupBy(F.col("value").alias("line"))
+        .agg(
+            F.count("*").cast("long").alias("n_dup"),
+            F.size(F.regexp_extract_all("value", F.lit(pat), 0)).cast("long").alias("n_hits"),
+        )
+    )
