@@ -580,3 +580,60 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_text_vocab_coverage.__doc__ = q_text_vocab_coverage.__doc__.format(K=VOCAB_K)
+
+
+_POS_LEX = ("fast", "big")
+_NEG_LEX = ("slow", "small", "dup")
+
+
+@query(
+    "q_text_sentiment_lexicon",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(t, x -> list_contains({list(_POS_LEX)}, x))) AS BIGINT) AS n_pos,
+           CAST(len(list_filter(t, x -> list_contains({list(_NEG_LEX)}, x))) AS BIGINT) AS n_neg,
+           CASE WHEN len(t) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(ROUND(
+                  (CAST(len(list_filter(t, x -> list_contains({list(_POS_LEX)}, x))) AS DOUBLE)
+                   - len(list_filter(t, x -> list_contains({list(_NEG_LEX)}, x))))
+                  / len(t), 6) AS DOUBLE)
+           END AS polarity
+    FROM toks
+    """,
+)
+def q_text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the distributed scoring shape
+    of "Large Scale Sentiment Analysis on Twitter with Spark", EDBT
+    2016): per-document positive/negative lexicon hit counts and
+    length-normalized polarity in [-1, 1].
+
+    Scale shape: the lexicon is a plan-time literal array (a real
+    deployment broadcasts its 10k-word lexicon — same row-local
+    membership test, different constant), so scoring is a pure map
+    over the token array inside the scan stage: no explode, no
+    shuffle, no Python. The fixture vocabulary stands in for the
+    lexicon; swap the constants for AFINN/VADER terms in production."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = F.array(*[F.lit(w) for w in _POS_LEX])
+    neg = F.array(*[F.lit(w) for w in _NEG_LEX])
+    t = tokens("text")
+    return (
+        d.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            F.size(F.filter("t", lambda x: F.array_contains(pos, x))).cast("long").alias("n_pos"),
+            F.size(F.filter("t", lambda x: F.array_contains(neg, x))).cast("long").alias("n_neg"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "n_pos",
+            "n_neg",
+            F.when(F.size("t") == 0, F.lit(0.0))
+            .otherwise(
+                F.round((F.col("n_pos").cast("double") - F.col("n_neg")) / F.size("t"), 6)
+            )
+            .alias("polarity"),
+        )
+    )
