@@ -455,3 +455,50 @@ def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unpivoted = summary.unpivot([], ["len", "digit", "tokens", "kept"], "rule", "n_failing")
     return unpivoted.select("rule", F.col("n_failing").cast("long"))
+
+
+@query(
+    "q_curation_winsorize",
+    oracle="""
+    WITH edges AS (
+      SELECT event_type,
+             quantile_disc(value, 0.05) AS lo,
+             quantile_disc(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) FILTER (e.value < x.lo) AS BIGINT) AS n_clamped_lo,
+           CAST(COUNT(*) FILTER (e.value > x.hi) AS BIGINT) AS n_clamped_hi,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS raw_cents,
+           CAST(SUM(CAST(round(GREATEST(x.lo, LEAST(x.hi, e.value)) * 100) AS BIGINT)) AS BIGINT)
+             AS winsorized_cents
+    FROM events e JOIN edges x USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit per event type: clamp values to the
+    [p5, p95] band and report how many rows hit each edge plus the
+    raw-vs-winsorized mass shift — the standard tail-taming step
+    before a feature feeds a model (outliers capped, not dropped).
+
+    Edges are DISCRETE percentiles (stored values, bit-identical
+    across engines — the q_histogram_equidepth contract), clamping is
+    row-local min/max against the broadcast per-type edge table, and
+    both sums are INTEGER CENTS (per-row round, then exact bigint
+    sum), so no float-summation order can enter the compare. Scale
+    shape: one percentile aggregate over vocabulary-sized groups, one
+    broadcast join, one partial/final aggregate — two scans total."""
+    e = load_table(spark, sf_dir, "events")
+    edges = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.05, 1000000)").alias("lo"),
+        F.expr("approx_percentile(value, 0.95, 1000000)").alias("hi"),
+    )
+    j = e.join(F.broadcast(edges), "event_type")
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return j.groupBy("event_type").agg(
+        F.count(F.when(F.col("value") < F.col("lo"), 1)).cast("long").alias("n_clamped_lo"),
+        F.count(F.when(F.col("value") > F.col("hi"), 1)).cast("long").alias("n_clamped_hi"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("raw_cents"),
+        F.sum(F.round(clamped * 100).cast("long")).cast("long").alias("winsorized_cents"),
+    )

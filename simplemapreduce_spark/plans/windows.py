@@ -363,3 +363,56 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
         ).alias("trailing_1h_n"),
     )
+
+
+@query(
+    "q_window_rolling_corr",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(corr(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS c
+    FROM events
+    QUALIFY COUNT(*) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) >= 10
+    """,
+)
+def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between event value and hour-of-day
+    over each user's trailing 10 events — the windowed form of the
+    corr aggregate (co-movement drift detection on a stream of pairs).
+    Frames shorter than 10 rows are suppressed (QUALIFY / filter on
+    the frame count) so every emitted correlation is over a full
+    window; rounded at the boundary because corr's running-moment
+    accumulation order can differ between engines in the last ulps.
+
+    Scale shape: one shuffle on user_id, one sort per partition, and
+    corr runs as an incremental frame aggregate (constant per-row
+    work) — the same single-window-pass contract as the moving
+    averages; no self-join, no per-frame recompute."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    hod = F.hour("ts").cast("double")
+    # Spelled as guarded covar/stddev moments rather than corr():
+    # under ANSI mode Spark's corr raises DIVIDE_BY_ZERO on a
+    # zero-variance frame (every event in the same hour), where
+    # DuckDB's corr returns NULL — the guard reproduces the NULL.
+    sv = F.stddev_samp(F.col("value")).over(w)
+    sh = F.stddev_samp(hod).over(w)
+    cv = F.covar_samp(F.col("value"), hod).over(w)
+    c = F.when((sv == 0) | (sh == 0), F.lit(None)).otherwise(cv / (sv * sh))
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(c, 4).alias("c"),
+            F.count("*").over(w).alias("_n"),
+        )
+        .filter(F.col("_n") >= 10)
+        .drop("_n")
+    )
