@@ -637,3 +637,72 @@ def q_text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("polarity"),
         )
     )
+
+
+@query(
+    "q_text_js_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+      WHERE lang IN ('en', 'fr')
+    ),
+    c AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    en AS (SELECT token, n FROM c WHERE lang = 'en'),
+    fr AS (SELECT token, n FROM c WHERE lang = 'fr'),
+    tot AS (
+      SELECT (SELECT SUM(n) FROM en) AS te, (SELECT SUM(n) FROM fr) AS tf
+    ),
+    m AS (
+      SELECT COALESCE(en.token, fr.token) AS token,
+             COALESCE(en.n, 0) AS n_en, COALESCE(fr.n, 0) AS n_fr
+      FROM en FULL OUTER JOIN fr ON en.token = fr.token
+    )
+    SELECT token, CAST(n_en AS BIGINT) AS n_en, CAST(n_fr AS BIGINT) AS n_fr,
+           CAST(ROUND(
+             0.5 * (CASE WHEN n_en = 0 THEN 0.0 ELSE
+               (CAST(n_en AS DOUBLE) / te) * log2((CAST(n_en AS DOUBLE) / te)
+                 / (0.5 * (CAST(n_en AS DOUBLE) / te + CAST(n_fr AS DOUBLE) / tf))) END)
+             + 0.5 * (CASE WHEN n_fr = 0 THEN 0.0 ELSE
+               (CAST(n_fr AS DOUBLE) / tf) * log2((CAST(n_fr AS DOUBLE) / tf)
+                 / (0.5 * (CAST(n_en AS DOUBLE) / te + CAST(n_fr AS DOUBLE) / tf))) END),
+             6) AS DOUBLE) AS jsd_term
+    FROM m CROSS JOIN tot
+    """,
+)
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token Jensen-Shannon divergence contributions between the
+    English and French unigram distributions — the symmetric, bounded
+    distribution-shift metric for comparing corpus slices (sum of
+    jsd_term = JSD in bits; which tokens drive it is the actionable
+    part). Zero-count sides contribute 0 (the 0·log0 convention).
+
+    Scale shape: one groupBy over the filtered token stream, then a
+    full outer join of two VOCABULARY-sized count tables with the two
+    totals broadcast; all probability math is row-local doubles from
+    exact integer counts — bit-identical across engines, rounded at
+    the boundary. Emitting per-token terms (not the scalar sum) keeps
+    the compare exact: a global float sum would depend on partition
+    order."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "fr"))
+    toks = d.select("lang", F.explode(tokens("text")).alias("token"))
+    c = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    en = c.filter(F.col("lang") == "en").select("token", F.col("n").alias("n_en"))
+    fr = c.filter(F.col("lang") == "fr").select("token", F.col("n").alias("n_fr"))
+    m = (
+        en.join(fr, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("n_en", F.lit(0)).cast("long").alias("n_en"),
+            F.coalesce("n_fr", F.lit(0)).cast("long").alias("n_fr"),
+        )
+    )
+    te = m.agg(F.sum("n_en").alias("te"), F.sum("n_fr").alias("tf"))
+    p = F.col("n_en").cast("double") / F.col("te")
+    q = F.col("n_fr").cast("double") / F.col("tf")
+    mid = 0.5 * (p + q)
+    term = 0.5 * F.when(F.col("n_en") == 0, F.lit(0.0)).otherwise(
+        p * F.log2(p / mid)
+    ) + 0.5 * F.when(F.col("n_fr") == 0, F.lit(0.0)).otherwise(q * F.log2(q / mid))
+    return m.crossJoin(F.broadcast(te)).select(
+        "token", "n_en", "n_fr", F.round(term, 6).alias("jsd_term")
+    )

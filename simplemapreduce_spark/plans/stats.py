@@ -488,3 +488,57 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "q_chi_square_contingency",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(o) AS row_tot FROM c GROUP BY 1),
+    ct AS (SELECT hod, SUM(o) AS col_tot FROM c GROUP BY 1),
+    n AS (SELECT SUM(o) AS tot FROM c)
+    SELECT c.event_type, CAST(c.hod AS BIGINT) AS hod,
+           CAST(c.o AS BIGINT) AS o,
+           CAST(ROUND(CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.tot, 6) AS DOUBLE) AS e,
+           CAST(ROUND(
+             POWER(c.o - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.tot, 2)
+             / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.tot), 6) AS DOUBLE) AS chi2_term
+    FROM c JOIN rt USING (event_type) JOIN ct USING (hod) CROSS JOIN n
+    """,
+)
+def q_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and hour of
+    day: observed vs expected cell counts with per-cell chi-square
+    contributions — the standard categorical-association screen (a
+    flat contribution table = independent; spiky cells = the hours
+    driving the dependence).
+
+    Scale shape: ONE groupBy over the raw events builds the
+    contingency table; marginals and the grand total are re-aggregates
+    of that (|types| × 24)-row table, joined back broadcast-small. All
+    inputs to the float math are exact integers, so expected counts
+    and contributions are bit-identical across engines; rounded at the
+    boundary."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type", F.hour("ts").cast("long").alias("hod")).agg(
+        F.count("*").alias("o")
+    )
+    rt = c.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    ct = c.groupBy("hod").agg(F.sum("o").alias("col_tot"))
+    n = c.agg(F.sum("o").alias("tot"))
+    exp = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("tot")
+    return (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hod")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "hod",
+            F.col("o").cast("long").alias("o"),
+            F.round(exp, 6).alias("e"),
+            F.round(F.pow(F.col("o") - exp, F.lit(2)) / exp, 6).alias("chi2_term"),
+        )
+    )
