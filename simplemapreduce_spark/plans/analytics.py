@@ -12,7 +12,7 @@ hash aggregation over the events scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
@@ -243,3 +243,82 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_market_basket_pairs.__doc__ = q_market_basket_pairs.__doc__.format(TOP=TOP_PAIRS)
+
+
+@query(
+    "q_survival_hazard",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    mx AS (SELECT MAX(ts) AS mts FROM events),
+    g AS (
+      SELECT CASE WHEN nxt IS NULL
+                  THEN date_diff('day', CAST(ts AS DATE),
+                                 CAST((SELECT mts FROM mx) AS DATE))
+                  ELSE date_diff('day', CAST(ts AS DATE), CAST(nxt AS DATE))
+             END AS gap,
+             (nxt IS NULL) AS censored
+      FROM p
+    ),
+    allg AS (SELECT gap, COUNT(*) AS n_all FROM g GROUP BY gap),
+    d AS (SELECT gap, COUNT(*) AS died FROM g WHERE NOT censored GROUP BY gap),
+    risk AS (
+      SELECT gap, SUM(n_all) OVER (ORDER BY gap DESC) AS at_risk FROM allg
+    )
+    SELECT CAST(d.gap AS BIGINT) AS gap_days,
+           CAST(d.died AS BIGINT) AS died,
+           CAST(r.at_risk AS BIGINT) AS at_risk,
+           CAST(ROUND(CAST(d.died AS DOUBLE) / r.at_risk, 6) AS DOUBLE) AS hazard
+    FROM d JOIN risk r ON r.gap = d.gap
+    """,
+)
+def q_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival (life-table) estimate of repurchase
+    behavior: for each inter-purchase gap of d days, how many users
+    repurchased exactly then (died), how many were still at risk
+    (gap >= d, INCLUDING right-censored last purchases, censored at
+    the observation-window end), and the hazard died/at_risk — the
+    actuarial estimator churn models start from; censoring handled
+    the standard way rather than dropped.
+
+    Scale shape: one window pass over purchases per user computes the
+    next-purchase lead; gaps aggregate to a DAY-DOMAIN-sized table
+    (bounded by the observation span, not the corpus), and the
+    at-risk tail-cumulative runs as a single-partition window over
+    that tiny aggregated table — the one place a global window is
+    correct because its input is already vocabulary-sized. Every
+    count is an exact integer; the hazard division is the only float,
+    rounded at the boundary."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    nxt = F.lead("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    mx = e.agg(F.max("ts").alias("mts"))
+    g = (
+        p.withColumn("nxt", nxt)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("nxt").isNull(),
+                F.datediff(F.col("mts").cast("date"), F.col("ts").cast("date")),
+            )
+            .otherwise(F.datediff(F.col("nxt").cast("date"), F.col("ts").cast("date")))
+            .cast("long")
+            .alias("gap"),
+            F.col("nxt").isNull().alias("censored"),
+        )
+    )
+    allg = g.groupBy("gap").agg(F.count("*").alias("n_all"))
+    died = g.filter(~F.col("censored")).groupBy("gap").agg(F.count("*").alias("died"))
+    at_risk = F.sum("n_all").over(
+        W.orderBy(F.col("gap").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = allg.select("gap", at_risk.alias("at_risk"))
+    return died.join(risk, "gap").select(
+        F.col("gap").alias("gap_days"),
+        F.col("died").cast("long").alias("died"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.round(F.col("died").cast("double") / F.col("at_risk"), 6).alias("hazard"),
+    )
