@@ -206,6 +206,37 @@ _IVF_ASSIGN_SQL = f"""
 """
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """Shared inverted-file index: deterministic first-K centroids,
+    row-local broadcast argmin cell assignment. The assignment IS the
+    index — built once per (corpus, session) and reused by every
+    consumer (ANN search, semantic dedup): the interactive-session
+    reuse argument of EDBT 2020 "Incremental ... Top-K Similarity
+    Search". memo_persist keys it by corpus stamp, same discipline as
+    the minhash signature cache. Returns (vectors, centroid-array row,
+    sorted-cells SQL fragment, persisted assignment)."""
+    from simplemapreduce_spark.cache import memo_persist, table_stamp
+
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    cents = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+    d_expr = (
+        "round(sqrt(aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)), 4)"
+    )
+    cells_sorted = f"array_sort(transform(cents, c -> struct({d_expr} as d, c.cid as cid)))"
+    assign = memo_persist(
+        v.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "e", F.expr(f"element_at({cells_sorted}, 1).cid").alias("cell")
+        ),
+        f"ivf.assign:{sf_dir}",
+        table_stamp(sf_dir, "embeddings"),
+    )
+    return v, cents, cells_sorted, assign
+
+
 @query(
     "q_sim_ivf_topk",
     oracle=f"""
@@ -246,30 +277,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index gives, with k-means-trained centroids as the drop-in
     upgrade. array_sort on (d, cid) structs reproduces the oracle's
     ORDER BY d, cid tie-break exactly."""
-    v = _vectors(spark, sf_dir)
-    cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
-    )
-    cents = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
-    d_expr = (
-        "round(sqrt(aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)), "
-        "0.0D, (acc, x) -> acc + x)), 4)"
-    )
-    cells_sorted = f"array_sort(transform(cents, c -> struct({d_expr} as d, c.cid as cid)))"
-    # The cell assignment IS the inverted-file index: build once,
-    # query many (the interactive-session reuse argument of EDBT 2020
-    # "Incremental ... Top-K Similarity Search" — repeated queries in
-    # one session must not rebuild the index). memo_persist keys it by
-    # corpus stamp, same discipline as the minhash signature cache.
-    from simplemapreduce_spark.cache import memo_persist, table_stamp
-
-    assign = memo_persist(
-        v.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "e", F.expr(f"element_at({cells_sorted}, 1).cid").alias("cell")
-        ),
-        f"ivf.assign:{sf_dir}",
-        table_stamp(sf_dir, "embeddings"),
-    )
+    v, cents, cells_sorted, assign = _ivf_index(spark, sf_dir)
     probes = (
         v.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cents))
@@ -784,20 +792,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF entries share; k-means‖ in operators/kmeans.py is the trained
     upgrade). Threshold kept at the fixture-calibrated {_SEM_TH} so
     the probe is non-vacuous at every SF (same constant as
-    q_dedup_embedding_cosine)."""
-    v = _vectors(spark, sf_dir)
-    cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
-    )
-    cents = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
-    d_expr = (
-        "round(sqrt(aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)), "
-        "0.0D, (acc, x) -> acc + x)), 4)"
-    )
-    cells_sorted = f"array_sort(transform(cents, c -> struct({d_expr} as d, c.cid as cid)))"
-    assign = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "e", F.expr(f"element_at({cells_sorted}, 1).cid").alias("cell")
-    )
+    q_dedup_embedding_cosine). The cell assignment comes from the
+    SHARED memoized IVF index (_ivf_index) — in a session that has
+    already answered an ANN query, dedup pays zero index-build cost."""
+    _v, _cents, _cs, assign = _ivf_index(spark, sf_dir)
     a = assign.select(
         F.col("cell"), F.col("vec_id").alias("kept_id"), F.col("e").alias("ae")
     )
