@@ -182,6 +182,15 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "q_text_perplexity_buckets",
         "q_cdc_apply",
         "q_ts_asof_nearest",
+        # Round-3 per-partition logic: the MG candidate SET differs
+        # with partitioning but the exact verify must erase that; the
+        # secondary-sort reducer streams partition-grouped runs; the
+        # semantic dedup + triangle joins must not depend on shuffle
+        # fan-in.
+        "q_heavy_hitters",
+        "mr_secondary_sort",
+        "q_dedup_semantic",
+        "q_graph_triangles",
     ):
         assert run(name, 3) == run(name, 17), name
 
