@@ -906,3 +906,47 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.user_id").alias("user_b"),
         F.floor(overlap_us / F.lit(1000000)).cast("long").alias("overlap_secs"),
     )
+
+
+@query(
+    "q_reaggregate_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v
+    FROM events GROUP BY 1
+    """,
+)
+def q_reaggregate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregation correctness: the Spark side answers the MONTHLY
+    question from a DAILY pre-aggregate (two-level rollup — count of
+    counts, sum of sums, min of mins, max of maxes) while the oracle
+    aggregates the raw events directly. Hash-equality between them is
+    the proof that the daily materialized rollup is lossless for the
+    re-aggregable measures — the pattern that lets a 100 TB pipeline
+    answer month/quarter/year queries from a table 4-5 orders of
+    magnitude smaller instead of rescanning raw data.
+
+    Sums are integer cents (decimal-cast recipe, functions/money.py
+    convention) so the two aggregation orders cannot differ in float
+    ulps; avg deliberately ships as (sum, n) — the re-aggregable
+    decomposition — not as a pre-averaged double, which would NOT
+    re-aggregate. Scale shape: both levels are partial/final hash
+    aggregates; the second runs over the day-domain-sized rollup."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sum_cents"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    return daily.groupBy(F.trunc("day", "month").alias("month")).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_cents").cast("long").alias("sum_cents"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
