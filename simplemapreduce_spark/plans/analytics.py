@@ -322,3 +322,175 @@ def q_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("at_risk").cast("long").alias("at_risk"),
         F.round(F.col("died").cast("double") / F.col("at_risk"), 6).alias("hazard"),
     )
+
+
+@query(
+    "q_attribution_touch",
+    oracle="""
+    WITH merged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END AS channel,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    attributed AS (
+      SELECT kind, cents,
+             last_value(channel IGNORE NULLS) OVER w AS last_ch,
+             first_value(channel IGNORE NULLS) OVER w AS first_ch
+      FROM merged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT model, channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM (
+      SELECT 'last_touch' AS model, COALESCE(last_ch, 'direct') AS channel, cents
+      FROM attributed WHERE kind = 1
+      UNION ALL
+      SELECT 'first_touch' AS model, COALESCE(first_ch, 'direct') AS channel, cents
+      FROM attributed WHERE kind = 1
+    ) GROUP BY model, channel
+    """,
+)
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase credits the same user's
+    most recent (last-touch) and earliest (first-touch) click/view
+    touchpoint at or before the purchase; purchases with no prior
+    touch go to 'direct'. Both models reported as rows, revenue in
+    exact integer cents.
+
+    Built on the union-merge shape shared with the as-of joins
+    (timeseries.py): touches and purchases merge into ONE per-user
+    stream, and a running first/last-ignore-nulls window resolves the
+    attribution — one shuffle + one sort, no per-purchase probe join,
+    no collect_list of the touch history. At equal timestamps touches
+    sort before purchases (kind ordering) so a same-instant touch is
+    attributable; event_id breaks remaining ties deterministically.
+    At 100 TB this is the only attribution shape that holds: cost is
+    a single sort within user partitions, independent of how many
+    touches precede each purchase."""
+    e = load_table(spark, sf_dir, "events")
+    merged = e.filter(F.col("event_type").isin("click", "view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")).alias("channel"),
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        ).alias("cents"),
+        (F.col("event_type") == "purchase").cast("int").alias("kind"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    attributed = merged.select(
+        "kind",
+        "cents",
+        F.last("channel", ignorenulls=True).over(w).alias("last_ch"),
+        F.first("channel", ignorenulls=True).over(w).alias("first_ch"),
+    ).filter(F.col("kind") == 1)
+    last = attributed.select(
+        F.lit("last_touch").alias("model"),
+        F.coalesce("last_ch", F.lit("direct")).alias("channel"),
+        "cents",
+    )
+    first = attributed.select(
+        F.lit("first_touch").alias("model"),
+        F.coalesce("first_ch", F.lit("direct")).alias("channel"),
+        "cents",
+    )
+    return (
+        last.unionByName(first)
+        .groupBy("model", "channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    rfm AS (
+      SELECT user_id,
+             date_diff('day', CAST(MAX(ts) AS DATE),
+                       CAST((SELECT mts FROM mx) AS DATE)) AS recency,
+             COUNT(*) AS frequency,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT CAST(quantile_cont(recency, 0.5) AS DOUBLE) AS r_med,
+             CAST(quantile_cont(frequency, 0.5) AS DOUBLE) AS f_med,
+             CAST(quantile_cont(monetary, 0.5) AS DOUBLE) AS m_med
+      FROM rfm
+    )
+    SELECT CASE WHEN recency <= r_med THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN frequency > f_med THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN monetary > m_med THEN 2 ELSE 1 END AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(monetary) AS BIGINT) AS segment_revenue_cents
+    FROM rfm, cuts
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    per-user purchase recency in days (vs the observation-window end),
+    purchase count, and exact integer-cents spend, each split at its
+    population median into a binary score — 8 segments, with user
+    count and revenue per segment.
+
+    Scale shape: one hash aggregation builds the user-level RFM table;
+    the three medians are ONE tiny exact-percentile aggregate over it,
+    broadcast back for the scoring comparison (no global NTILE window
+    — a single-partition sort over every user is the anti-pattern this
+    formulation exists to avoid); the final rollup groups 8 keys.
+    Median split (not quintiles) keeps the score function a pure
+    broadcast comparison; at production scale the same plan holds with
+    approx percentiles swapped in."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    mx = e.agg(F.max("ts").alias("mts"))
+    rfm = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.col("mts").cast("date"), F.col("last_ts").cast("date")).alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    cuts = rfm.agg(
+        F.expr("percentile(recency, 0.5)").alias("r_med"),
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .select(
+            F.when(F.col("recency") <= F.col("r_med"), 2).otherwise(1).alias("r_score"),
+            F.when(F.col("frequency") > F.col("f_med"), 2).otherwise(1).alias("f_score"),
+            F.when(F.col("monetary") > F.col("m_med"), 2).otherwise(1).alias("m_score"),
+            "monetary",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("monetary").cast("long").alias("segment_revenue_cents"),
+        )
+    )

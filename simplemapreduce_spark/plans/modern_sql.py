@@ -186,3 +186,104 @@ def q_approx_top_k_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         F.col("r.item").alias("item"), F.col("r.count").cast("long").alias("cnt")
     )
+
+
+@query(
+    "q_sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+/Spark 4 ANSI surface): the analyzer
+    derives the grouping keys from the non-aggregate select items —
+    the ergonomic form analysts reach for first. Resolves at analysis
+    time to the identical partial+final hash aggregate as an explicit
+    GROUP BY 1, 2, so the physical plan (and its 100 TB behavior) is
+    unchanged; DuckDB supports the same syntax, so the oracle is
+    byte-identical SQL. Sum in exact decimal, surfaced as double."""
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "q_set_except_all",
+    oracle="""
+    SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM (
+      SELECT o_custkey AS c_custkey FROM orders
+      EXCEPT ALL
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY c_custkey
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL — bag-semantics difference, keeping
+    per-element multiplicity (each customer's order count minus their
+    'F'-status order count), surfaced as customers with more than one
+    surviving order. Complements q_set_except, whose trailing
+    .distinct() verifies only set semantics.
+
+    Spark compiles exceptAll to a generate-and-sum rewrite (+1/-1
+    multiplicity counters, one hash aggregate, replicate) — no sort,
+    no join: the same shape DuckDB uses, and a single shuffle on the
+    value at 100 TB. The trailing count-per-key collapses the bag so
+    the oracle hash compares a bounded result."""
+    o = load_table(spark, sf_dir, "orders")
+    all_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        all_orders.exceptAll(f_orders)
+        .groupBy("c_custkey")
+        .agg(F.count("*").cast("long").alias("multiplicity"))
+        .filter(F.col("multiplicity") > 1)
+    )
+
+
+@query(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus <> 'F'
+      INTERSECT ALL
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    GROUP BY c_custkey
+    """,
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL — bag intersection keeping min(m_left,
+    m_right) copies per value: customers counted by how many orders
+    they have in BOTH the open-status and the high-value populations
+    (the overlap cardinality a segmentation report wants, which the
+    DISTINCT variant collapses to 0/1). Same generate-and-sum rewrite
+    and single-shuffle scale shape as q_set_except_all."""
+    o = load_table(spark, sf_dir, "orders")
+    open_orders = o.filter(F.col("o_orderstatus") != "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    big_orders = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        open_orders.intersectAll(big_orders)
+        .groupBy("c_custkey")
+        .agg(F.count("*").cast("long").alias("multiplicity"))
+    )

@@ -542,3 +542,158 @@ def q_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.col("o") - exp, F.lit(2)) / exp, 6).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "q_ab_test_ztest",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+      FROM assigned GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+        MAX(CASE WHEN variant = 'A' THEN conv END) AS conv_a,
+        MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+        MAX(CASE WHEN variant = 'B' THEN conv END) AS conv_b
+      FROM arms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           CAST(ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS DOUBLE) AS rate_a,
+           CAST(ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS DOUBLE) AS rate_b,
+           CAST(CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+             ROUND(
+               (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+               / sqrt(
+                   (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b)
+                 ), 6) END AS DOUBLE) AS z_score
+    FROM wide
+    """,
+)
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic 50/50 experiment
+    split: users are assigned to variant A/B by md5(user_id) first
+    hex digit (engine-portable, stable under reruns — the assignment
+    convention shared with plans/sampling.py), conversion = user made
+    a high-value purchase (value > 180 — a ~quarter-of-users event, so
+    the pooled rate sits strictly inside (0, 1); "any purchase" is
+    near-universal in this stream and would zero the pooled variance),
+    and the pooled-variance z statistic compares the two rates.
+
+    Scale shape: one hash aggregation to the user grain, one to the
+    two-arm grain, then scalar math on a 1-row frame — the entire
+    test is two partial+final aggregations over the events scan, no
+    window, no driver-side stats. Counts stay exact integers; the
+    division/sqrt happen once at the 1-row boundary, rounded there."""
+    e = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    assigned = e.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 180)).cast("int")
+        ).alias("converted")
+    ).select(variant.alias("variant"), "converted")
+    arms = assigned.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    # NULL (not an ANSI /0 error) when every user or no user converted:
+    # the pooled variance is zero and the statistic is undefined.
+    z = F.when(
+        (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b")),
+        (rate_a - rate_b)
+        / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@query(
+    "q_feature_scaling",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             COUNT(*) AS n,
+             SUM(n_chars) AS sx,
+             SUM(n_chars * n_chars) AS sxx,
+             MIN(n_chars) AS mn,
+             MAX(n_chars) AS mx
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(ROUND(
+             (d.n_chars - CAST(s.sx AS DOUBLE) / s.n)
+             / sqrt(CAST(s.sxx AS DOUBLE) / s.n
+                    - (CAST(s.sx AS DOUBLE) / s.n) * (CAST(s.sx AS DOUBLE) / s.n)),
+             6) AS DOUBLE) AS z_score,
+           CAST(ROUND(CAST(d.n_chars - s.mn AS DOUBLE) / (s.mx - s.mn), 6) AS DOUBLE)
+             AS minmax
+    FROM documents d JOIN s USING (source)
+    WHERE s.mx > s.mn
+    """,
+)
+def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization — the ML-preprocessing map:
+    z-score and min-max scaling of document length WITHIN each source
+    (per-domain normalization, so one verbose domain doesn't dominate
+    a quality classifier's length feature).
+
+    Determinism across engines: the group stats are EXACT integer sums
+    (n, sum x, sum x^2, min, max); mean and population variance derive
+    from them with one fixed double formula spelled identically in
+    both plans — not the engines' own stddev implementations, whose
+    different update orders can differ in the last ulp. One hash
+    aggregate to the (small) source grain, broadcast back over the
+    scan: a map-plus-tiny-join at any scale, no window, no second
+    shuffle of the corpus. Degenerate groups (all lengths equal, so
+    zero variance and a 0-width min-max range) are excluded on both
+    engines rather than left to engine-specific IEEE /0 behavior."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = F.col("sxx").cast("double") / F.col("n") - mean * mean
+    return d.join(F.broadcast(s.filter(F.col("mx") > F.col("mn"))), "source").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round((F.col("n_chars") - mean) / F.sqrt(var), 6).alias("z_score"),
+        F.round(
+            (F.col("n_chars") - F.col("mn")).cast("double") / (F.col("mx") - F.col("mn")), 6
+        ).alias("minmax"),
+    )
