@@ -502,3 +502,88 @@ def q_curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("raw_cents"),
         F.sum(F.round(clamped * 100).cast("long")).cast("long").alias("winsorized_cents"),
     )
+
+
+@query(
+    "q_url_canonical_dedup",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://site' || CAST(doc_id % 30 AS VARCHAR)
+                           || '.example/page' || CAST(doc_id % 12 AS VARCHAR)
+               WHEN 1 THEN 'https://WWW.Site' || CAST(doc_id % 30 AS VARCHAR)
+                           || '.EXAMPLE/page' || CAST(doc_id % 12 AS VARCHAR) || '/'
+               WHEN 2 THEN 'https://site' || CAST(doc_id % 30 AS VARCHAR)
+                           || '.example/page' || CAST(doc_id % 12 AS VARCHAR)
+                           || '?utm_source=feed&ref=2'
+               ELSE 'https://Site' || CAST(doc_id % 30 AS VARCHAR)
+                           || '.example/page' || CAST(doc_id % 12 AS VARCHAR)
+                           || '#section-3'
+             END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_replace(url, '[?#].*$', '')),
+                 '^(https?://)www\.', '\1'),
+               '/$', '') AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(DISTINCT url) > 1
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-curation step that
+    collapses surface variants of the same page (mixed-case host,
+    www. prefix, tracking query params, fragments, trailing slash)
+    into one canonical key before fetch-dedup or per-URL quality
+    joins. The fixture has no URL column, so each document
+    deterministically derives one of four messy variants of a shared
+    target (same injected-string proof strategy as q_text_url_extract
+    / q_text_pii_redact: both engines build and canonicalize identical
+    strings, so the normalization chain is verified end-to-end).
+
+    Canonicalization: strip query+fragment, lowercase, drop the www.
+    host prefix, drop the trailing slash — each a row-local regexp (on
+    a cluster this is scan-speed map work); the dedup itself is one
+    hash aggregation on the canonical key. Output: canonical URLs that
+    actually collapsed 2+ raw forms, with occurrence/document counts."""
+    d = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 30).cast("string")
+    pg = (F.col("doc_id") % 12).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://site"), k, F.lit(".example/page"), pg))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://WWW.Site"), k, F.lit(".EXAMPLE/page"), pg, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://site"), k, F.lit(".example/page"), pg,
+                       F.lit("?utm_source=feed&ref=2")))
+        .otherwise(
+            F.concat(F.lit("https://Site"), k, F.lit(".example/page"), pg,
+                     F.lit("#section-3")))
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(url, r"[?#].*$", "")),
+            r"^(https?://)www\.", r"$1"),
+        r"/$", "")
+    return (
+        d.select("doc_id", url.alias("url"), canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("url").cast("long").alias("n_raw_forms"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_raw_forms") > 1)
+    )

@@ -697,3 +697,90 @@ def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") - F.col("mn")).cast("double") / (F.col("mx") - F.col("mn")), 6
         ).alias("minmax"),
     )
+
+
+@query(
+    "q_ks_two_sample",
+    oracle="""
+    WITH p AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    per_value AS (
+      SELECT cents,
+             SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS b
+      FROM p GROUP BY cents
+    ),
+    tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM per_value),
+    cdf AS (
+      SELECT SUM(a) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS ca,
+             SUM(b) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cb
+      FROM per_value
+    )
+    SELECT CAST(t.ta AS BIGINT) AS n_a,
+           CAST(t.tb AS BIGINT) AS n_b,
+           CAST(ROUND(MAX(ABS(CAST(ca AS DOUBLE) / t.ta
+                             - CAST(cb AS DOUBLE) / t.tb)), 6) AS DOUBLE) AS d_stat,
+           CAST(ROUND(1.358 * sqrt(CAST(t.ta + t.tb AS DOUBLE) / (t.ta * t.tb)), 6)
+                AS DOUBLE) AS d_crit_05
+    FROM cdf, tot t
+    GROUP BY t.ta, t.tb
+    """,
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: the max gap between the
+    empirical CDFs of purchase amounts in experiment arms A and B
+    (same deterministic md5 user split as q_ab_test_ztest) — the
+    standard distribution-shift test that catches what a mean
+    comparison misses, with the alpha=0.05 critical value
+    1.358*sqrt((n_a+n_b)/(n_a*n_b)) alongside.
+
+    Scale shape: amounts quantize to exact integer cents, so the CDFs
+    are computed on the per-CENTS-VALUE aggregate — a table bounded by
+    the price domain, not the corpus. The running sums are a global
+    ordered window, but over that value-domain aggregate only (the
+    survival-hazard justification: a single-partition window is
+    correct exactly when its input is vocabulary-sized); the raw scan
+    contributes one partial+final hash aggregation. All counts are
+    exact integers; the two divisions happen per aggregated row with
+    an identical formula on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        variant.alias("variant"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    per_value = p.groupBy("cents").agg(
+        F.sum((F.col("variant") == "A").cast("int")).alias("a"),
+        F.sum((F.col("variant") == "B").cast("int")).alias("b"),
+    )
+    tot = per_value.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    run = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cdf = per_value.select(
+        F.sum("a").over(run).alias("ca"), F.sum("b").over(run).alias("cb")
+    )
+    gap = F.abs(F.col("ca").cast("double") / F.col("ta") - F.col("cb").cast("double") / F.col("tb"))
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("ta", "tb")
+        .agg(
+            F.round(F.max(gap), 6).alias("d_stat"),
+            F.round(
+                F.max(1.358 * F.sqrt((F.col("ta") + F.col("tb")).cast("double") / (F.col("ta") * F.col("tb")))),
+                6,
+            ).alias("d_crit_05"),
+        )
+        .select(
+            F.col("ta").cast("long").alias("n_a"),
+            F.col("tb").cast("long").alias("n_b"),
+            "d_stat",
+            "d_crit_05",
+        )
+    )
