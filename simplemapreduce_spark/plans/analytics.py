@@ -494,3 +494,76 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary").cast("long").alias("segment_revenue_cents"),
         )
     )
+
+
+@query(
+    "q_revenue_contribution",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT))
+               AS revenue_e4
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    t AS (SELECT SUM(revenue_e4) AS tot FROM rev)
+    SELECT n_name,
+           CAST(revenue_e4 AS BIGINT) AS revenue_e4,
+           CAST(ROUND(CAST(revenue_e4 AS DOUBLE) / t.tot, 6) AS DOUBLE) AS share,
+           CAST(ROUND(CAST(SUM(revenue_e4) OVER (ORDER BY revenue_e4 DESC, n_name
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      / t.tot, 6) AS DOUBLE) AS cum_share
+    FROM rev, t
+    """,
+)
+def q_revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution analysis: each nation's share of
+    global discounted revenue plus the cumulative (Pareto) share in
+    descending-revenue order — the 80/20 concentration readout.
+
+    Scale shape: the star join (broadcast customer->nation dims onto
+    the lineitem scan) and ONE hash aggregation produce a
+    nation-grain table; the grand total broadcasts back, and the
+    cumulative window runs over that 25-row aggregate only (the
+    vocabulary-sized-input justification for a partition-free
+    window). Revenue is exact integer 1e-4-dollar units end-to-end
+    (decimal(12,2) price x decimal(4,2) discount factor is an exact
+    scale-4 decimal — the tpch_ext recipe); the two
+    shares are single divisions rounded at the boundary, and the
+    descending order is made total by the n_name tie-break so the
+    cumulative sum is deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (1 - F.col("l_discount").cast("decimal(4,2)"))
+                    * 10000
+                ).cast("long")
+            ).alias("revenue_e4")
+        )
+    )
+    t = rev.agg(F.sum("revenue_e4").alias("tot"))
+    cum = F.sum("revenue_e4").over(
+        W.orderBy(F.col("revenue_e4").desc(), "n_name").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    return rev.crossJoin(F.broadcast(t)).select(
+        "n_name",
+        F.col("revenue_e4").cast("long").alias("revenue_e4"),
+        F.round(F.col("revenue_e4").cast("double") / F.col("tot"), 6).alias("share"),
+        F.round(cum.cast("double") / F.col("tot"), 6).alias("cum_share"),
+    )

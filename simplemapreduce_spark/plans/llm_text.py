@@ -706,3 +706,47 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.crossJoin(F.broadcast(te)).select(
         "token", "n_en", "n_fr", F.round(term, 6).alias("jsd_term")
     )
+
+
+@query(
+    "q_text_skipgram_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    pairs AS (
+      SELECT toks[i] AS w, toks[i + d] AS c, d
+      FROM t
+      CROSS JOIN UNNEST(range(1, len(toks) + 1)) u(i)
+      CROSS JOIN (VALUES (1), (2)) dd(d)
+      WHERE i + d <= len(toks)
+    )
+    SELECT w, c, CAST(d AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY w, c, d
+    """,
+)
+def q_text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (window 2, forward-directed,
+    distance-labeled) — the corpus statistic word2vec/GloVe-style
+    embedding training consumes, and the raw material for PMI
+    association scores.
+
+    Scale shape: pair expansion is ROW-LOCAL (a transform over each
+    document's own token array — the basket-mining pattern, no
+    positional self-join of an exploded token table, which would
+    shuffle every token twice and go quadratic on long documents);
+    the only shuffle is the final (w, c, d) count, partial-aggregated
+    map-side and bounded by vocabulary squared, not corpus size."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    pair_expr = F.expr(
+        "explode(flatten(transform(t, (x, i) -> "
+        "  filter(transform(array(1, 2), d -> "
+        "    IF(i + d < size(t), struct(x AS w, element_at(t, i + d + 1) AS c, d AS dist), NULL)"
+        "  ), p -> p IS NOT NULL)"
+        ")))"
+    )
+    return (
+        d.select(tokens("text").alias("t"))
+        .select(pair_expr.alias("p"))
+        .select("p.w", "p.c", F.col("p.dist").cast("int").alias("dist"))
+        .groupBy("w", "c", "dist")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

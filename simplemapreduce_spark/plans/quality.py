@@ -398,3 +398,58 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_totalprice").alias("o_totalprice"),
     )
     return applied.unionByName(inserts)
+
+
+@query(
+    "q_benford_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(ROUND(CAST(n AS DOUBLE) / t.tot, 6) AS DOUBLE) AS observed_p,
+           CAST(ROUND(log10(1 + 1.0 / digit), 6) AS DOUBLE) AS benford_p,
+           CAST(ROUND(
+             power(CAST(n AS DOUBLE) / t.tot - log10(1 + 1.0 / digit), 2)
+             / log10(1 + 1.0 / digit) * t.tot, 6) AS DOUBLE) AS chi2_term
+    FROM c, t
+    """,
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the leading-digit
+    distribution versus the log10(1 + 1/d) expectation, with the
+    per-digit chi-square contribution — the classic anomaly/fraud
+    screen for financial columns (fabricated or capped values bend
+    the first-digit curve).
+
+    Scale shape: leading digit is a row-local string projection
+    (exact — no float log tricks on the hot path), counts are one
+    9-bucket hash aggregate, and the expectation/chi-square math runs
+    on the 9-row result against a broadcast total. Both engines
+    compute log10 on the same nine rational inputs and round at 6
+    decimals, inside double precision's cross-library agreement."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    obs = F.col("n").cast("double") / F.col("tot")
+    exp_p = F.log10(1 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(obs, 6).alias("observed_p"),
+        F.round(exp_p, 6).alias("benford_p"),
+        F.round(F.pow(obs - exp_p, F.lit(2)) / exp_p * F.col("tot"), 6).alias("chi2_term"),
+    )

@@ -437,3 +437,47 @@ def test_semantic_dedup_assignment_is_broadcast(spark, sf_dir):
     df = catalog.QUERIES["q_dedup_semantic"](spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_join_no_cartesian(spark, sf_dir):
+    """The PPJoin candidate stage must be an equi-join on prefix
+    tokens (SortMergeJoin/ShuffledHashJoin on ptok) — never a
+    cartesian pair enumeration; the verify stage is row-local
+    array_intersect."""
+    df = catalog.QUERIES["q_dedup_jaccard_prefix_filter"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_single_merged_stream_no_join(spark, sf_dir):
+    """Touch->purchase attribution must resolve through ONE merged
+    per-user window pass (union + running first/last ignore-nulls),
+    not a per-purchase probe join against the touch history."""
+    df = catalog.QUERIES["q_attribution_touch"](spark, sf_dir)
+    plan = _plan(df)
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in plan, marker
+    assert "Window" in plan
+
+
+def test_revenue_contribution_dims_broadcast(spark, sf_dir):
+    """The nation/customer dimensions must broadcast onto the
+    lineitem-orders join; the Pareto window runs over the 25-row
+    nation aggregate, never the raw scan."""
+    df = catalog.QUERIES["q_revenue_contribution"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skipgram_pairs_row_local_expansion(spark, sf_dir):
+    """Skip-gram pairs must come from a row-local array transform
+    (Generate/explode over each doc's own tokens) — no positional
+    self-join of an exploded token table."""
+    df = catalog.QUERIES["q_text_skipgram_pairs"](spark, sf_dir)
+    plan = _plan(df)
+    for marker in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert marker not in plan, marker
+    assert "Generate" in plan
