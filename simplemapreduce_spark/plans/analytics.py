@@ -567,3 +567,67 @@ def q_revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue_e4").cast("double") / F.col("tot"), 6).alias("share"),
         F.round(cum.cast("double") / F.col("tot"), 6).alias("cum_share"),
     )
+
+
+@query(
+    "q_event_sequence_pattern",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+                             WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+                             ELSE 'e' END AS ch
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS s
+      FROM ch GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(s, 's[cv]*p')) AS BIGINT) AS n_conversions
+    FROM seq
+    """,
+)
+def q_event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over each user's ordered event
+    stream (the MATCH_RECOGNIZE workload): encode events as
+    characters, then count non-overlapping occurrences of
+    signup -> (click|view)* -> purchase with one regex — strict
+    contiguous funnels, which the conditional-MIN funnel
+    (q_funnel_conversion) deliberately does not require.
+
+    Scale shape: one groupBy(user) builds the ordered event string
+    via a row-local sort of the user's own collected events (bounded
+    by per-user activity — the same contract as session stats; a hot
+    user with millions of events would hit the same wall in any
+    MATCH_RECOGNIZE engine and gets time-windowed upstream); the
+    regex then runs row-locally per user. The pattern is strictly
+    regular (no backtracking blowup) and means the same thing to
+    Java regex and RE2, so both engines count identical matches."""
+    e = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    seq = (
+        e.select("user_id", "ts", "event_id", ch.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.regexp_count("s", F.lit("s[cv]*p")).cast("long").alias("n_conversions"),
+    )

@@ -750,3 +750,145 @@ def q_text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w", "c", "dist")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@query(
+    "q_text_pmi",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    pairs AS (
+      SELECT toks[i] AS w, toks[i + 1] AS c
+      FROM t CROSS JOIN UNNEST(range(1, len(toks))) u(i)
+    ),
+    pc AS (SELECT w, c, COUNT(*) AS n_wc FROM pairs GROUP BY w, c),
+    tot AS (SELECT SUM(n_wc) AS n FROM pc),
+    lm AS (SELECT w, SUM(n_wc) AS n_w FROM pc GROUP BY w),
+    rm AS (SELECT c, SUM(n_wc) AS n_c FROM pc GROUP BY c)
+    SELECT pc.w, pc.c, CAST(pc.n_wc AS BIGINT) AS n_wc,
+           CAST(ROUND(ln(
+             (CAST(pc.n_wc AS DOUBLE) * t.n)
+             / (CAST(lm.n_w AS DOUBLE) * rm.n_c)
+           ), 6) AS DOUBLE) AS pmi
+    FROM pc JOIN lm USING (w) JOIN rm USING (c) CROSS JOIN tot t
+    WHERE pc.n_wc >= 5
+    """,
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs —
+    PMI(w,c) = ln(p(w,c) / (p(w)p(c))) with marginals taken over the
+    bigram table itself — the collocation score used for phrase
+    mining ("merge tokens that co-occur more than chance") and
+    embedding-matrix construction (PPMI). Support floor n_wc >= 5
+    drops noise pairs, the standard practice.
+
+    Scale shape: bigrams expand row-locally (sequence transform over
+    each doc's token array); counts, the two marginals, and the grand
+    total are vocabulary-bounded aggregates of the PAIR table, not
+    corpus-sized; the final join keys on single tokens against
+    vocabulary-sized marginal tables (AQE broadcasts them). All
+    counts exact integers; one ln per output row, rounded at the
+    boundary."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    bigram = F.expr(
+        "explode(transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) AS w, element_at(t, i + 1) AS c)))"
+    )
+    # Marginals and the grand total are over the UNFILTERED pair
+    # counts (the support floor only gates which rows are emitted);
+    # one aggregation feeds all four branches.
+    pc_all = (
+        d.select(tokens("text").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(bigram.alias("p"))
+        .select("p.w", "p.c")
+        .groupBy("w", "c")
+        .agg(F.count("*").alias("n_wc"))
+    )
+    pc = pc_all.filter(F.col("n_wc") >= 5)
+    tot = pc_all.agg(F.sum("n_wc").alias("n"))
+    lm = pc_all.groupBy("w").agg(F.sum("n_wc").alias("n_w"))
+    rm = pc_all.groupBy("c").agg(F.sum("n_wc").alias("n_c"))
+    pmi = F.log(
+        (F.col("n_wc").cast("double") * F.col("n"))
+        / (F.col("n_w").cast("double") * F.col("n_c"))
+    )
+    return (
+        pc.join(lm, "w")
+        .join(rm, "c")
+        .crossJoin(F.broadcast(tot))
+        .select("w", "c", F.col("n_wc").cast("long").alias("n_wc"), F.round(pmi, 6).alias("pmi"))
+    )
+
+
+@query(
+    "q_text_ctfidf_class_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(t) AS token
+      FROM (SELECT source, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    tf AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY source, token),
+    cw AS (SELECT source, SUM(tf) AS class_words FROM tf GROUP BY source),
+    a AS (SELECT CAST(SUM(class_words) AS DOUBLE) / COUNT(*) AS avg_words FROM cw),
+    f AS (SELECT token, SUM(tf) AS f_t FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.source, tf.token, tf.tf,
+             ROUND(tf.tf * ln(1 + a.avg_words / f.f_t), 6) AS ctfidf
+      FROM tf JOIN f USING (token) CROSS JOIN a
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY ctfidf DESC, token) AS rnk
+      FROM scored
+    )
+    SELECT source, token, CAST(tf AS BIGINT) AS tf,
+           CAST(ctfidf AS DOUBLE) AS ctfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_text_ctfidf_class_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF formulation): treat
+    each class (source) as one concatenated pseudo-document, score
+    token t in class c as tf_{{t,c}} * ln(1 + A / f_t) with A the
+    average words per class and f_t the token's corpus frequency,
+    and keep each class's top-3 terms — the per-cluster keyword
+    extraction step topic pipelines run after clustering.
+
+    Scale shape: term frequencies are one (class, token) hash
+    aggregate off the token explode; class sizes, the average, and
+    corpus frequencies all derive from that vocabulary-bounded table;
+    the top-3 is a per-class WindowGroupLimit over the scored
+    vocabulary, never the corpus. Scores round at the boundary with
+    a (score, token) total order so rank ties agree across engines."""
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    cw = tf.groupBy("source").agg(F.sum("tf").alias("class_words"))
+    a = cw.agg(
+        (F.sum("class_words").cast("double") / F.count("*")).alias("avg_words")
+    )
+    fr = tf.groupBy("token").agg(F.sum("tf").alias("f_t"))
+    scored = (
+        tf.join(fr, "token")
+        .crossJoin(F.broadcast(a))
+        .select(
+            "source",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(1 + F.col("avg_words") / F.col("f_t")), 6
+            ).alias("ctfidf"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("ctfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "token", F.col("tf").cast("long").alias("tf"), "ctfidf",
+                F.col("rnk").cast("int").alias("rnk"))
+    )

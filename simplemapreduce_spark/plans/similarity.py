@@ -815,3 +815,107 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("dup_id", "kept_id", "cos_sim")
     )
+
+
+@query(
+    "q_sim_lsh_recall_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             {_sign_bucket_sql()} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < {N_QUERIES * 4}),
+    gt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY ROUND(list_cosine_similarity(q.qe, v.e), 4) DESC, v.vec_id) AS rank
+        FROM q JOIN v ON v.vec_id <> q.query_id
+      ) WHERE rank <= 3
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY ROUND(list_cosine_similarity(q.qe, v.e), 4) DESC, v.vec_id) AS rank
+        FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> q.query_id
+      ) WHERE rank <= 3
+    )
+    SELECT gt.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_relevant,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found,
+           CAST(ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS recall_at_3
+    FROM gt LEFT JOIN approx a
+      ON a.query_id = gt.query_id AND a.neighbor_id = gt.neighbor_id
+    GROUP BY gt.query_id
+    """,
+)
+def q_sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: recall@3 of the bit-sampling LSH
+    index against the exact brute-force ground truth, per query — the
+    eval harness an ANN deployment runs before trusting an
+    approximate index, expressed as one DataFrame job (both
+    retrievers + the join-based recall join), with the oracle
+    recomputing the whole pipeline in SQL.
+
+    Scale shape: ground truth broadcasts the (small, sampled) query
+    set over one corpus scan; the approximate side is the bucket
+    equi-join; the recall join then operates on 2 x |queries| x k
+    rows — negligible. In production the ground-truth pass runs on a
+    SAMPLE of queries (as here) precisely because it is the expensive
+    exact scan; the LSH side is the cheap path being audited. The
+    deterministic (rounded-sim, id) ranking contract shared by all
+    similarity queries makes top-k ties identical on both engines."""
+    raw = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    v = raw.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        _sign_bucket_col().alias("bucket"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES * 4).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+
+    gt = topk(
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+        )
+    )
+    approx = topk(
+        v.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+        )
+    )
+    hit = F.col("a_neighbor").isNotNull().cast("int")
+    return (
+        gt.join(
+            approx.select(
+                F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+            ),
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_relevant"),
+            F.sum(hit).cast("long").alias("n_found"),
+            F.round(F.sum(hit).cast("double") / F.count("*"), 6).alias("recall_at_3"),
+        )
+    )

@@ -784,3 +784,56 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d_crit_05",
         )
     )
+
+
+@query(
+    "q_mutual_information",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n_sl FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT SUM(n_sl) AS n FROM c),
+    ms AS (SELECT source, SUM(n_sl) AS n_s FROM c GROUP BY source),
+    ml AS (SELECT lang, SUM(n_sl) AS n_l FROM c GROUP BY lang)
+    SELECT c.source, c.lang,
+           CAST(c.n_sl AS BIGINT) AS n_sl,
+           CAST(ROUND(
+             (CAST(c.n_sl AS DOUBLE) / t.n)
+             * ln((CAST(c.n_sl AS DOUBLE) * t.n) / (CAST(ms.n_s AS DOUBLE) * ml.n_l)),
+             6) AS DOUBLE) AS mi_term
+    FROM c JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN t
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (source,
+    lang) as per-cell contributions p(s,l)*ln(p(s,l)/(p(s)p(l))) —
+    the feature-selection score that tells a curation pipeline
+    whether a metadata column actually predicts another (sum the
+    column for total MI; per-cell terms localize WHICH combinations
+    carry the signal).
+
+    Scale shape: one contingency aggregate keyed on the column pair,
+    then marginals and the total over that (category-bounded) table;
+    the joins run on vocabulary-sized inputs that AQE broadcasts.
+    Identical exact-integer-counts-then-one-double-formula recipe as
+    q_chi_square_contingency."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
+    t = c.agg(F.sum("n_sl").alias("n"))
+    ms = c.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
+    ml = c.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    p_sl = F.col("n_sl").cast("double") / F.col("n")
+    ratio = (F.col("n_sl").cast("double") * F.col("n")) / (
+        F.col("n_s").cast("double") * F.col("n_l")
+    )
+    return (
+        c.join(ms, "source")
+        .join(ml, "lang")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "lang",
+            F.col("n_sl").cast("long").alias("n_sl"),
+            F.round(p_sl * F.log(ratio), 6).alias("mi_term"),
+        )
+    )

@@ -13,7 +13,10 @@ os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH"
 
 from simplemapreduce_spark.session import get_spark
 
-SF_SMALL = "/root/testdata/sf0.001"
+# Default gate scale is the smallest fixture (fast); override with
+# SMR_TEST_SF_DIR to replay the whole suite at the driver's sf0.01
+# (or sf0.1) before a round lands.
+SF_SMALL = os.environ.get("SMR_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
