@@ -64,3 +64,49 @@ class SyntheticDocsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration on any session (driver sessions too)."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+
+N_STREAM_TOTAL = 100
+STREAM_STEP = 30
+
+
+def make_counter_stream_datasource():
+    """Streaming Python DataSource (Spark 4 simpleStreamReader API) —
+    the micro-batch twin of SyntheticDocsDataSource. Deterministic
+    integer sequence: row i carries (i, i % 5, (i*i) % 97); offsets
+    are plain {"i": n} dicts; read() serves STREAM_STEP rows per
+    micro-batch until N_STREAM_TOTAL then returns empty batches — a
+    replayable, engine-independent source whose full drain is
+    SQL-expressible (DuckDB range()), giving the Python streaming
+    source path an exact oracle. Built lazily inside a function so
+    the class object (captured by the streaming runtime) is fresh per
+    registration."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _CounterStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            s = int(start["i"])
+            e = min(s + STREAM_STEP, N_STREAM_TOTAL)
+            return iter([(i, i % 5, (i * i) % 97) for i in range(s, e)]), {"i": e}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(i, i % 5, (i * i) % 97) for i in range(int(start["i"]), int(end["i"]))]
+            )
+
+    class CounterStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "smr_counter_stream"
+
+        def schema(self) -> str:
+            return "i bigint, key bigint, value bigint"
+
+        def simpleStreamReader(self, schema):
+            return _CounterStreamReader()
+
+    return CounterStreamDataSource

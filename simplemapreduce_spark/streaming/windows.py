@@ -759,3 +759,72 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(
         F.count("user_id").alias("n_distinct_users")
     )
+
+
+@query(
+    "q_source_python_stream",
+    oracle="""
+    SELECT i % 5 AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM((i * i) % 97) AS BIGINT) AS sum_value
+    FROM range(0, 100) t(i)
+    GROUP BY i % 5
+    """,
+)
+def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python DataSource (Spark 4 simpleStreamReader
+    API): a deterministic counter source replayed through micro-batch
+    execution into a complete-mode grouped aggregate, verified
+    exactly against the closed-form SQL of the full sequence. The
+    batch Python DataSource (q_source_python_datasource) covers the
+    reader API; this covers offset management (initialOffset / read /
+    readBetweenOffsets) and stateful recomputation across batches.
+
+    Python streaming sources do not support Trigger.AvailableNow
+    (the engine falls back to a single micro-batch and would drain
+    only the first 30-row batch), so the drain loop runs a
+    processing-time trigger and watches the COMMITTED aggregate until
+    it covers the whole sequence, then stops — failing loudly on
+    timeout rather than handing a partial table to the oracle
+    (ADVICE r2 convention).
+
+    Scale design: offsets are tiny JSON dicts; each micro-batch is
+    produced and consumed incrementally (state store carries the
+    running counts), the same topology a Kafka-backed deployment has;
+    nothing about the drain loop is data-size-dependent."""
+    import time as _time
+
+    from simplemapreduce_spark.sources.pyds import (
+        N_STREAM_TOTAL,
+        make_counter_stream_datasource,
+    )
+
+    spark.dataSource.register(make_counter_stream_datasource())
+    raw = spark.readStream.format("smr_counter_stream").load()
+    agg = raw.groupBy((F.col("i") % 5).alias("key")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum((F.col("i") * F.col("i")) % 97).cast("long").alias("sum_value"),
+    )
+    name = f"smr_pyds_stream_{int(_time.monotonic_ns())}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 300
+        while True:
+            done = (
+                spark.table(name).agg(F.sum("n_rows").alias("n")).collect()[0]["n"]
+                or 0
+            ) >= N_STREAM_TOTAL
+            if done:
+                break
+            if _time.monotonic() > deadline:
+                raise RuntimeError("python stream drain timed out after 300s")
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name)
