@@ -950,3 +950,48 @@ def q_reaggregate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
+
+
+@query(
+    "q_ts_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    anchored AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+               AS anchor
+      FROM days
+    )
+    SELECT user_id,
+           MIN(day) AS island_start,
+           MAX(day) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM anchored
+    GROUP BY user_id, anchor
+    """,
+)
+def q_ts_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's active DAYS into maximal
+    runs of consecutive dates (islands) — the classic streak/uptime
+    shape (login streaks, sensor coverage, outage spans). Uses the
+    canonical anchor trick: day minus the user-ordered row number is
+    constant exactly within a consecutive run, so one window pass plus
+    one hash aggregate finds every island without self-joins or
+    iteration.
+
+    Scale shape: the distinct (user, day) table is activity-bounded
+    (|users| x |days|, far below raw events); the row-number window
+    partitions BY USER (bounded per-partition work, no global sort),
+    and islands aggregate on (user, anchor). Dates stay dates — no
+    epoch arithmetic to disagree on across engines."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    anchored = days.select("user_id", "day", F.date_sub("day", rn).alias("anchor"))
+    return anchored.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("island_start"),
+        F.max("day").alias("island_end"),
+        F.count("*").cast("long").alias("n_days"),
+    ).select("user_id", "island_start", "island_end", "n_days")

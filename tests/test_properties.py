@@ -191,6 +191,14 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "mr_secondary_sort",
         "q_dedup_semantic",
         "q_graph_triangles",
+        # Round-3 additions: the prefix-filter join's candidate set
+        # depends on bucket co-location, the attribution window on
+        # per-user sort order, the recall eval on two top-k ranks —
+        # all must be invariant to shuffle fan-in.
+        "q_dedup_jaccard_prefix_filter",
+        "q_attribution_touch",
+        "q_sim_lsh_recall_eval",
+        "q_event_sequence_pattern",
     ):
         assert run(name, 3) == run(name, 17), name
 
