@@ -328,3 +328,130 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "exact_n")
         .agg(F.min("c").cast("long").alias("cms_estimate"))
     )
+
+
+@query(
+    "q_sketch_bloom_filter",
+    oracle="""
+    WITH build AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bpos AS (
+      SELECT DISTINCT
+             (CAST('0x' || substr(md5(CAST(k AS VARCHAR)), i * 8 + 1, 8) AS BIGINT)
+              % 8192) AS pos
+      FROM build CROSS JOIN (VALUES (0), (1), (2)) t(i)
+    ),
+    probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    ppos AS (
+      SELECT k,
+             (CAST('0x' || substr(md5(CAST(k AS VARCHAR)), i * 8 + 1, 8) AS BIGINT)
+              % 8192) AS pos
+      FROM probe CROSS JOIN (VALUES (0), (1), (2)) t(i)
+    ),
+    pm AS (
+      SELECT p.k,
+             COUNT(DISTINCT p.pos) AS np,
+             COUNT(DISTINCT CASE WHEN b.pos IS NOT NULL THEN p.pos END) AS nm
+      FROM ppos p LEFT JOIN bpos b USING (pos) GROUP BY p.k
+    ),
+    verdict AS (
+      SELECT pm.k, (pm.nm = pm.np) AS maybe, (bu.k IS NOT NULL) AS actual
+      FROM pm LEFT JOIN (SELECT DISTINCT k FROM build) bu USING (k)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM bpos) AS BIGINT) AS n_bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+           CAST(SUM(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           CAST(SUM(CASE WHEN actual AND NOT maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_neg,
+           CAST(ROUND(CAST(SUM(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                      / NULLIF(SUM(CASE WHEN NOT actual THEN 1 ELSE 0 END), 0), 6)
+                AS DOUBLE) AS fpr
+    FROM verdict
+    """,
+)
+def q_sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch, built and audited in one job:
+    an 8192-bit / 3-hash filter over the BUILDING-segment customer
+    keys, probed with every ordering customer, reporting bits set,
+    maybe-hits, true members, false positives (with the measured FPR)
+    and false negatives — which a correct Bloom filter makes
+    impossible, so the n_false_neg = 0 column is a live witness, not
+    an assumption. This is the semi-join pre-filter primitive behind
+    bloom-filtered joins (Spark's own runtime row-group skipping uses
+    the same construction JVM-side).
+
+    Exactly cross-engine: hash positions are md5-hex slices mod M
+    (the engine-portable convention of the MinHash family), the "all
+    k bits set" test compares DISTINCT matched positions against the
+    key's own distinct positions (self-colliding hashes would
+    otherwise under-count), and every output is an integer until the
+    single FPR division. Scale shape: the bit set is a distinct
+    aggregate of 3|build| positions (bounded by M); the probe check
+    is an equi-join on position against that tiny table — broadcast
+    in practice — plus one semi-join for ground truth. No driver-side
+    bitmap, no UDFs."""
+    M, K = 8192, 3
+
+    def positions(key: F.Column) -> F.Column:
+        h = F.md5(key.cast("string"))
+        return F.array(
+            *[
+                F.conv(F.substring(h, i * 8 + 1, 8), 16, 10).cast("bigint") % M
+                for i in range(K)
+            ]
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    build = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    bpos = build.select(F.explode(positions(F.col("k"))).alias("pos")).distinct()
+    probe = o.select(F.col("o_custkey").alias("k")).distinct()
+    ppos = probe.select("k", F.explode(positions(F.col("k"))).alias("pos"))
+    pm = (
+        ppos.join(F.broadcast(bpos.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("k")
+        .agg(
+            F.countDistinct("pos").alias("np"),
+            F.countDistinct(F.when(F.col("hit").isNotNull(), F.col("pos"))).alias("nm"),
+        )
+    )
+    verdict = pm.join(
+        F.broadcast(build.distinct().withColumn("actual", F.lit(True))), "k", "left"
+    ).select(
+        (F.col("nm") == F.col("np")).alias("maybe"),
+        F.coalesce("actual", F.lit(False)).alias("actual"),
+    )
+    n_bits = bpos.agg(F.count("*").alias("n_bits_set"))
+    fp = (F.col("maybe") & ~F.col("actual")).cast("int")
+    fn = (F.col("actual") & ~F.col("maybe")).cast("int")
+    return (
+        verdict.agg(
+            F.count("*").cast("long").alias("n_probe"),
+            F.sum(F.col("maybe").cast("int")).cast("long").alias("n_maybe"),
+            F.sum(F.col("actual").cast("int")).cast("long").alias("n_member"),
+            F.sum(fp).cast("long").alias("n_false_pos"),
+            F.sum(fn).cast("long").alias("n_false_neg"),
+            F.round(
+                F.sum(fp).cast("double")
+                / F.nullif(F.sum((~F.col("actual")).cast("int")), F.lit(0)),
+                6,
+            ).alias("fpr"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.col("n_bits_set").cast("long").alias("n_bits_set"),
+            "n_probe",
+            "n_maybe",
+            "n_member",
+            "n_false_pos",
+            "n_false_neg",
+            "fpr",
+        )
+    )
