@@ -481,3 +481,24 @@ def test_skipgram_pairs_row_local_expansion(spark, sf_dir):
     for marker in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert marker not in plan, marker
     assert "Generate" in plan
+
+
+def test_bloom_filter_bit_set_broadcasts(spark, sf_dir):
+    """The Bloom bit-set join must broadcast the (M-bounded) position
+    table; the probe side never shuffles on position."""
+    df = catalog.QUERIES["q_sketch_bloom_filter"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gaps_islands_window_partitioned_by_user(spark, sf_dir):
+    """The islands row-number window must partition by user (bounded
+    per-partition work) — a partition-free global sort here would be
+    the 100 TB anti-pattern."""
+    df = catalog.QUERIES["q_ts_gaps_islands"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" in plan
+    import re
+    w = plan[plan.index("Window"):]
+    assert "user_id" in w.split("\n", 3)[0] + w[:400]

@@ -196,3 +196,29 @@ def test_count_min_never_underestimates(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["cms_estimate"] >= r["exact_n"], r
+
+
+def test_bloom_filter_fpr_within_theoretical_bound(spark, sf_dir):
+    """The measured Bloom false-positive rate must sit under the
+    theoretical (1 - e^(-kn/m))^k envelope (with slack for sampling
+    noise on a finite probe set), and false negatives must be
+    impossible by construction."""
+    import math
+
+    from simplemapreduce_spark import catalog
+
+    catalog.load_all()
+    row = catalog.QUERIES["q_sketch_bloom_filter"](spark, sf_dir).collect()[0]
+    assert row["n_false_neg"] == 0
+    m, k = 8192.0, 3.0
+    # n = keys inserted; n_bits_set <= k*n, recover n from the build
+    # side definition instead: bits-set gives the tight empirical
+    # bound p_hit = bits/m per probe position.
+    p_hit = row["n_bits_set"] / m
+    bound = p_hit**k
+    n_non_members = row["n_probe"] - row["n_member"]
+    if n_non_members == 0:
+        return
+    fpr = row["n_false_pos"] / n_non_members
+    # 5x slack: the binomial noise floor at a few hundred probes.
+    assert fpr <= 5 * bound + 0.01, (fpr, bound)
