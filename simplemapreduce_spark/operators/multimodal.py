@@ -205,3 +205,58 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+N_AUDIO_FRAMES = 4
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("e0", T.LongType(), True),
+        T.StructField("e1", T.LongType(), True),
+        T.StructField("e2", T.LongType(), True),
+        T.StructField("e3", T.LongType(), True),
+        T.StructField("peak_frame", T.LongType(), True),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame) -> DataFrame:
+    """Arrow-batched per-frame 'audio' energy over the binary payload:
+    treat each byte as a centered PCM sample (b - 128) and sum squares
+    within N_AUDIO_FRAMES frames. Frame membership is the pure formula
+    frame = (j * k) // n over the 0-based byte index — the SAME
+    expression the SQL oracle uses, so there is no slicing-boundary
+    ambiguity to disagree on. Integer math end-to-end; peak_frame is
+    the argmax with lowest-index tie-break. Empty payloads are
+    filtered on both engines. The real decoder slot stays stubbed
+    (operators/multimodal.py decode_image) — this is the plumbing +
+    windowed-reduction shape a real PCM pipeline has."""
+    import numpy as np
+
+    from simplemapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    k = N_AUDIO_FRAMES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                idx = (np.arange(n, dtype=np.int64) * k) // n
+                sq = (arr - 128) ** 2
+                e = np.bincount(idx, weights=sq, minlength=k).astype(np.int64)
+                rows.append(
+                    (int(mid), n, int(e[0]), int(e[1]), int(e[2]), int(e[3]), int(np.argmax(e)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "e0", "e1", "e2", "e3", "peak_frame"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=AUDIO_SCHEMA)

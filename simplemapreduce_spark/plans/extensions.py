@@ -455,3 +455,51 @@ def q_sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fpr",
         )
     )
+
+
+@query(
+    "q_multimodal_audio_energy",
+    # ASCII byte-math mirror (the q_multimodal_features proof
+    # strategy): documents.text is pure ASCII, so byte j (0-based) is
+    # ascii(substr(text, j+1, 1)); frame = (j*4) // n on BOTH engines.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             ((i - 1) * 4) // length(text) AS frame,
+             (ascii(substring(text, i, 1)) - 128)
+               * (ascii(substring(text, i, 1)) - 128) AS sq
+      FROM documents
+      CROSS JOIN UNNEST(range(1, length(text) + 1)) u(i)
+      WHERE length(text) > 0
+    ),
+    f AS (
+      SELECT doc_id, MAX(n) AS n,
+             SUM(CASE WHEN frame = 0 THEN sq ELSE 0 END) AS e0,
+             SUM(CASE WHEN frame = 1 THEN sq ELSE 0 END) AS e1,
+             SUM(CASE WHEN frame = 2 THEN sq ELSE 0 END) AS e2,
+             SUM(CASE WHEN frame = 3 THEN sq ELSE 0 END) AS e3
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(e0 AS BIGINT) AS e0, CAST(e1 AS BIGINT) AS e1,
+           CAST(e2 AS BIGINT) AS e2, CAST(e3 AS BIGINT) AS e3,
+           CAST(CASE GREATEST(e0, e1, e2, e3)
+                  WHEN e0 THEN 0 WHEN e1 THEN 1 WHEN e2 THEN 2 ELSE 3
+                END AS BIGINT) AS peak_frame
+    FROM f
+    """,
+)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal operator: per-frame energy reduction
+    over the opaque binary payload (4 frames, centered-sample sum of
+    squares, integer-exact) with the peak frame — the windowed
+    signal-statistic shape (VAD, loudness normalization, silence
+    trimming) a real PCM pipeline runs via the same Arrow-batched
+    mapInPandas plumbing. See operators/multimodal.py
+    audio_frame_energy for the shared frame formula that makes the
+    DuckDB byte-math oracle exact."""
+    media = documents_as_media(ensure_parallelism(load_table(spark, sf_dir, "documents")))
+    from simplemapreduce_spark.operators.multimodal import audio_frame_energy
+
+    return audio_frame_energy(media)

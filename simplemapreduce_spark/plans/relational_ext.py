@@ -689,3 +689,52 @@ def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@query(
+    "q_lateral_explode_outer",
+    oracle=r"""
+    WITH enriched AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'ref https://site' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example/p ' || text
+                  ELSE text END AS raw
+      FROM documents
+    ),
+    with_urls AS (
+      SELECT doc_id, regexp_extract_all(raw, 'https?://[A-Za-z0-9.-]+/[A-Za-z0-9]*') AS urls
+      FROM enriched
+    )
+    SELECT w.doc_id, u.url
+    FROM with_urls w
+    LEFT JOIN LATERAL (SELECT unnest(urls) AS url) u ON TRUE
+    """,
+)
+def q_lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER lateral explode: rows whose generator array is EMPTY
+    survive with a NULL element instead of vanishing — the semantics
+    that keeps zero-match parents in link/tag extraction (an inner
+    explode silently drops them, the classic row-loss bug in
+    enrichment pipelines). One third of documents get an injected URL
+    (the q_text_url_extract proof strategy), the rest have none, so
+    BOTH branches are exercised non-vacuously: matched docs fan out,
+    unmatched docs keep exactly one NULL row.
+
+    Scale shape: explode_outer is the same row-local Generate as
+    explode (outer=true), zero shuffles; the oracle mirrors it with
+    DuckDB's LEFT JOIN LATERAL unnest."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("ref https://site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/p "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    urls = F.regexp_extract_all(raw, F.lit(r"https?://[A-Za-z0-9.-]+/[A-Za-z0-9]*"), 0)
+    return d.select("doc_id", urls.alias("urls")).select(
+        "doc_id", F.explode_outer("urls").alias("url")
+    )
