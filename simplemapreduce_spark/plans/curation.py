@@ -587,3 +587,82 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_raw_forms") > 1)
     )
+
+
+@query(
+    "q_sample_alpha_temperature",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT SUM(n) AS total FROM c),
+    q AS (
+      SELECT source, n,
+             power(CAST(n AS DOUBLE) / t.total, 0.7) AS unnorm
+      FROM c, t
+    ),
+    z AS (SELECT SUM(unnorm) AS zsum FROM q),
+    rates AS (
+      SELECT source, n,
+             ROUND(LEAST(1.0,
+               (q.unnorm / z.zsum) * (SELECT total / 2.0 FROM t) / q.n), 6) AS rate
+      FROM q, z
+    )
+    SELECT r.source,
+           CAST(r.n AS BIGINT) AS n_docs,
+           CAST(r.rate AS DOUBLE) AS rate,
+           CAST(SUM(CASE WHEN
+                 (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  % 1000000) < CAST(r.rate * 1000000 AS BIGINT)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+    FROM documents d JOIN rates r USING (source)
+    GROUP BY r.source, r.n, r.rate
+    """,
+)
+def q_sample_alpha_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha (temperature) sampling across domains — q_l proportional
+    to p_l^0.7 (the multilingual rebalancing rule from mBERT/XLM-R:
+    flatten head domains, boost tail domains) targeting a half-size
+    corpus, with membership decided by the content-hash threshold
+    convention of plans/sampling.py. Complements q_data_mixture,
+    whose target proportions are GIVEN; here they derive from the
+    data itself.
+
+    Determinism across engines: the only irrational step (p^0.7) is
+    rounded to 6 decimals BEFORE becoming the integer hash threshold
+    (rate x 1e6), so a last-ulp pow() divergence cannot flip a
+    membership boundary. Scale shape: domain stats are one tiny
+    aggregate broadcast back over the scan; acceptance is a pure
+    per-row hash compare — no RNG, no coordination, reproducible
+    under retries."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    q = c.crossJoin(F.broadcast(t)).select(
+        "source", "n", "total", F.pow(F.col("n").cast("double") / F.col("total"), 0.7).alias("unnorm")
+    )
+    z = q.agg(F.sum("unnorm").alias("zsum"))
+    rates = q.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("unnorm") / F.col("zsum")) * (F.col("total") / 2.0) / F.col("n"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    hx = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000000
+    sel = (hx < (F.col("rate") * 1000000).cast("long")).cast("int")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n", "rate")
+        .agg(F.sum(sel).cast("long").alias("n_selected"))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "rate",
+            "n_selected",
+        )
+    )

@@ -837,3 +837,102 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p_sl * F.log(ratio), 6).alias("mi_term"),
         )
     )
+
+
+@query(
+    "q_mannwhitney_u",
+    oracle="""
+    WITH p AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pv AS (
+      SELECT cents,
+             SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS b
+      FROM p GROUP BY cents
+    ),
+    ranked AS (
+      SELECT a, b, (a + b) AS t,
+             SUM(a + b) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS c_before
+      FROM pv
+    ),
+    agg AS (
+      SELECT SUM(a) AS na, SUM(b) AS nb,
+             SUM(a * (COALESCE(c_before, 0) + (t + 1) / 2.0)) AS r_a,
+             SUM(CAST(t AS DOUBLE) * t * t - t) AS tie_sum
+      FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(ROUND(r_a - na * (na + 1) / 2.0, 1) AS DOUBLE) AS u_a,
+           CAST(ROUND(
+             (r_a - na * (na + 1) / 2.0 - CAST(na AS DOUBLE) * nb / 2)
+             / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                    * ((na + nb + 1)
+                       - tie_sum / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))),
+             6) AS DOUBLE) AS z_score
+    FROM agg
+    """,
+)
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between experiment
+    arms' purchase amounts — the nonparametric location test that
+    works when the t-test's normality assumption doesn't, with the
+    tie-corrected normal approximation (ties are heavy by
+    construction: amounts quantize to cents).
+
+    Scale shape: identical to q_ks_two_sample — ranks come from the
+    per-CENTS-VALUE aggregate (average rank of a tied block is
+    cum-before + (t+1)/2), so the only ordered window runs over the
+    price-domain-bounded table; rank sums, tie terms, U, and the z
+    statistic are exact-integer sums pushed through one shared double
+    formula. U is a multiple of 0.5 exactly (halves are exact
+    doubles), rounded at 1 decimal for display."""
+    e = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        variant.alias("variant"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    pv = p.groupBy("cents").agg(
+        F.sum((F.col("variant") == "A").cast("int")).alias("a"),
+        F.sum((F.col("variant") == "B").cast("int")).alias("b"),
+    )
+    t = F.col("a") + F.col("b")
+    c_before = F.sum(t).over(
+        W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = pv.select("a", "b", t.alias("t"), c_before.alias("c_before"))
+    agg = ranked.agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum(
+            F.col("a") * (F.coalesce("c_before", F.lit(0)) + (F.col("t") + 1) / 2.0)
+        ).alias("r_a"),
+        F.sum(F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_sum"
+        ),
+    )
+    u_a = F.col("r_a") - F.col("na") * (F.col("na") + 1) / 2.0
+    mu = F.col("na").cast("double") * F.col("nb") / 2
+    var = (
+        F.col("na").cast("double")
+        * F.col("nb")
+        / 12.0
+        * (
+            (F.col("na") + F.col("nb") + 1)
+            - F.col("tie_sum")
+            / ((F.col("na") + F.col("nb")).cast("double") * (F.col("na") + F.col("nb") - 1))
+        )
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        F.round((u_a - mu) / F.sqrt(var), 6).alias("z_score"),
+    )
