@@ -892,3 +892,52 @@ def q_text_ctfidf_class_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "token", F.col("tf").cast("long").alias("tf"), "ctfidf",
                 F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@query(
+    "q_text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(t) AS token
+      FROM (SELECT {_SQL_TOKENS} AS t FROM documents)
+    ),
+    freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(ROUND(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+                AS DOUBLE) AS zipf_slope,
+           CAST(ROUND(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+                AS DOUBLE) AS r2
+    FROM ranked
+    """,
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    ln(frequency) against ln(rank) (natural text sits near -1; heavily
+    duplicated or templated corpora flatten or steepen it — a cheap
+    corpus-health fingerprint alongside q_token_freq_spectrum).
+
+    Scale shape: token counts are one hash aggregate; the rank window
+    and the regression run over the VOCABULARY (bounded), with the
+    (freq DESC, token) total order making ranks identical across
+    engines. regr_* are algebraic aggregates — partial/final merged
+    like SUM."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    freq = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    rnk = F.row_number().over(W.orderBy(F.col("n").desc(), "token"))
+    ranked = freq.select("n", rnk.alias("rnk"))
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
+    )

@@ -17,6 +17,7 @@ Two late additions to the declarative surface:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -124,3 +125,49 @@ def q_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
     return e.groupBy("event_type").applyInArrow(stats, _ARROW_OUT)
+
+
+@query(
+    "q_pandas_udaf_weighted_mean",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+                AS DOUBLE) AS weighted_avg_price,
+           CAST(SUM(l_quantity) AS DOUBLE) AS total_weight
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE via a grouped-agg pandas UDF (Arrow
+    series in, scalar out) — the UDAF surface, complementing the
+    scalar UDF (q_sql_udf), table UDTF (q_udtf_token_runs) and
+    applyInArrow (q_arrow_group_stats) coverage: quantity-weighted
+    mean price per return flag.
+
+    Scale note: a grouped-agg pandas UDF is a HOLISTIC aggregate —
+    Spark ships each group's full columns to Python (no partial
+    aggregation), which is exactly the documented contract of the
+    reference's reduceF (common_reduce.go:78-87) but 10-100x the cost
+    of the equivalent built-in SUM ratio; the docstring-level guidance
+    stands: use this surface only for logic the built-ins cannot
+    express. Rounding happens inside the UDF with the same
+    half-even float64 semantics DuckDB's ROUND applies to doubles."""
+    from pyspark.sql.functions import pandas_udf
+
+    from simplemapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    @pandas_udf("double")
+    def wsum(qty: pd.Series) -> float:
+        return float(qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wmean("l_extendedprice", "l_quantity"), 6).alias("weighted_avg_price"),
+        wsum("l_quantity").alias("total_weight"),
+    )

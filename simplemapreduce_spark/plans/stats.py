@@ -936,3 +936,53 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u_a, 1).alias("u_a"),
         F.round((u_a - mu) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+@query(
+    "q_events_burstiness",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY event_type, h
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS k, SUM(n) AS sx, SUM(n * n) AS sxx
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(k AS BIGINT) AS n_hours,
+           CAST(sx AS BIGINT) AS n_events,
+           CAST(ROUND(
+             (CAST(sxx AS DOUBLE) / k - (CAST(sx AS DOUBLE) / k) * (CAST(sx AS DOUBLE) / k))
+             / (CAST(sx AS DOUBLE) / k), 6) AS DOUBLE) AS fano_factor
+    FROM s
+    """,
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor = variance/mean of hourly counts) per
+    event type — ~1 for a Poisson-like steady stream, >1 for bursty
+    traffic (flash crowds, retry storms), <1 for throttled/regular
+    flows; the dispersion statistic anomaly pipelines baseline on.
+
+    Scale shape: one hash aggregate to the (type, hour) grain —
+    calendar-bounded, not corpus-bounded — then exact integer
+    (count, sum, sum-of-squares) per type, pushed through one shared
+    double formula (the q_feature_scaling determinism recipe); no
+    window at all."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    s = hourly.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("k")
+    var = F.col("sxx").cast("double") / F.col("k") - mean * mean
+    return s.select(
+        "event_type",
+        F.col("k").cast("long").alias("n_hours"),
+        F.col("sx").cast("long").alias("n_events"),
+        F.round(var / mean, 6).alias("fano_factor"),
+    )
