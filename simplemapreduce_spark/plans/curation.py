@@ -666,3 +666,124 @@ def q_sample_alpha_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_selected",
         )
     )
+
+
+@query(
+    "q_pipeline_curation_funnel",
+    oracle=r"""
+    WITH train AS (
+      SELECT doc_id, source, n_chars, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    thr AS (SELECT CAST(quantile_cont(n_chars, 0.2) AS DOUBLE) AS t FROM train),
+    q AS (
+      SELECT *, (n_chars >= (SELECT t FROM thr)) AS pass_quality FROM train
+    ),
+    fp AS (
+      SELECT *, md5(substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 50))
+               AS fingerprint
+      FROM q
+    ),
+    dd AS (
+      SELECT *, pass_quality AND (ROW_NUMBER() OVER (
+               PARTITION BY fingerprint, pass_quality ORDER BY doc_id) = 1)
+             AS pass_dedup
+      FROM fp
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS arr
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 3
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(arr) AS shingle FROM toks WHERE doc_id % 10 = 0
+    ),
+    contam AS (
+      SELECT t.doc_id,
+             CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / len(MIN(t.arr)) AS frac
+      FROM (SELECT doc_id, arr, unnest(arr) AS shingle FROM toks
+            WHERE doc_id % 10 <> 0) t
+      LEFT JOIN eval_grams e USING (shingle)
+      GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(CASE WHEN d.pass_quality THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_quality,
+           CAST(SUM(CASE WHEN d.pass_dedup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_dedup,
+           CAST(SUM(CASE WHEN d.pass_dedup AND COALESCE(c.frac, 0) < 0.2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_after_decontam
+    FROM dd d LEFT JOIN contam c USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline with per-stage attrition: quality
+    gate (drop the shortest quintile — the cutoff derives from the
+    data, so it never goes vacuous when fixtures regenerate) ->
+    lead-prefix dedup (first doc per 50-char normalized-prefix
+    fingerprint among quality survivors — the near-identical-lead
+    rule; the fixture has no byte-exact dups, so an exact fingerprint
+    would leave this stage vacuously green, the ADVICE r2 trap) ->
+    benchmark decontamination (3-gram overlap fraction
+    vs the held-out eval docs, q_decontaminate_ngram's threshold) —
+    reported as a per-source funnel, the acceptance dashboard every
+    production curation run publishes.
+
+    Scale shape: each stage is the already-proven primitive (broadcast
+    scalar threshold; fingerprint window keyed on content hash;
+    broadcast eval-gram set with one doc-grain aggregate); stages
+    compose as column flags on ONE pass over the corpus rather than
+    materializing intermediate tables, so the whole funnel costs one
+    scan + three vocabulary/doc-bounded shuffles."""
+    from pyspark.sql import Window as W
+
+    from simplemapreduce_spark.plans.dedup import doc_shingle_arrays
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    thr = train.agg(F.expr("percentile(n_chars, 0.2)").alias("t"))
+    q = train.crossJoin(F.broadcast(thr)).withColumn(
+        "pass_quality", F.col("n_chars") >= F.col("t")
+    )
+    fp = F.md5(
+        F.substring(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 1, 50)
+    )
+    rn = F.row_number().over(
+        W.partitionBy("fingerprint", "pass_quality").orderBy("doc_id")
+    )
+    dd = (
+        q.withColumn("fingerprint", fp)
+        .withColumn("pass_dedup", F.col("pass_quality") & (rn == 1))
+    )
+    doc_sh = doc_shingle_arrays(spark, sf_dir)
+    eval_grams = (
+        doc_sh.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode("arr").alias("shingle"))
+        .distinct()
+    )
+    contam = (
+        doc_sh.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id", F.size("arr").alias("n_grams"), F.explode("arr").alias("shingle"))
+        .join(F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).cast("double")
+                / F.first("n_grams")
+            ).alias("frac")
+        )
+    )
+    out = dd.join(contam, "doc_id", "left")
+    keep3 = F.col("pass_dedup") & (F.coalesce("frac", F.lit(0.0)) < 0.2)
+    return out.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_input"),
+        F.sum(F.col("pass_quality").cast("int")).cast("long").alias("n_after_quality"),
+        F.sum(F.col("pass_dedup").cast("int")).cast("long").alias("n_after_dedup"),
+        F.sum(keep3.cast("int")).cast("long").alias("n_after_decontam"),
+    )
