@@ -941,3 +941,40 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
         F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
     )
+
+
+@query(
+    "q_text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(t) AS token
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    )
+    SELECT doc_id,
+           (CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 16) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok
+    GROUP BY doc_id, bucket
+    """,
+)
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer: tokens hash into a fixed 16-bucket
+    feature space (md5 mod buckets — the engine-portable convention),
+    giving every document a bounded sparse count vector with NO
+    vocabulary table to build, ship, or keep consistent — the
+    stateless featurization used when the vocabulary is unbounded or
+    drifting (HashingVectorizer / Vowpal Wabbit style).
+
+    Scale shape: pure map (hash per token) + one (doc, bucket) hash
+    aggregate whose output is bounded by |docs| x buckets; no join,
+    no vocabulary shuffle — the property that makes the trick the
+    default at corpus scale."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long") % 16
+    )
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
