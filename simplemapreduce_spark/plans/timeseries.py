@@ -995,3 +995,70 @@ def q_ts_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("island_end"),
         F.count("*").cast("long").alias("n_days"),
     ).select("user_id", "island_start", "island_end", "n_days")
+
+
+@query(
+    "q_ts_interval_union",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT user_id, epoch_us(ts) + 1800000000 AS t, -1 AS delta FROM events
+    ),
+    swept AS (
+      SELECT user_id, t, delta,
+             SUM(delta) OVER w AS cum_after,
+             LEAD(t) OVER w AS next_t
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, delta DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN cum_after > 0 THEN next_t - t ELSE 0 END) AS BIGINT)
+             AS active_micros,
+           CAST(SUM(CASE WHEN cum_after = delta AND delta = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_merged_spans
+    FROM swept
+    GROUP BY user_id
+    """,
+)
+def q_ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION length per user (sweep-line): every event opens
+    a 30-minute activity span; overlapping spans merge, and the query
+    reports each user's total active time plus how many merged spans
+    it collapses to — the union-of-intervals primitive behind
+    billable-time, uptime, and co-activity metrics, which a naive
+    SUM of span lengths double-counts.
+
+    The sweep is the classic +1/-1 endpoint encoding: a running
+    per-user counter over endpoints ordered by (time, starts-first)
+    — starts sort before ends at the same instant so back-to-back
+    spans merge seamlessly; segment time accrues wherever the
+    counter is positive, and a 0 -> 1 transition (cum == delta == 1)
+    marks a new merged span. Integer microseconds end-to-end.
+
+    Scale shape: endpoints double the event count (map-only), then
+    ONE per-user window sort — bounded by per-user activity, no
+    global sort, no self-join of spans (the O(n^2) overlap-join trap
+    this formulation replaces)."""
+    e = load_table(spark, sf_dir, "events")
+    t = epoch_micros(F.col("ts"))
+    starts = e.select("user_id", t.alias("t"), F.lit(1).alias("delta"))
+    ends = e.select("user_id", (t + 1800000000).alias("t"), F.lit(-1).alias("delta"))
+    pts = starts.unionByName(ends)
+    w = W.partitionBy("user_id").orderBy(F.col("t"), F.col("delta").desc())
+    swept = pts.select(
+        "user_id",
+        "t",
+        "delta",
+        F.sum("delta").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_after"),
+        F.lead("t").over(w).alias("next_t"),
+    )
+    return swept.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("cum_after") > 0, F.col("next_t") - F.col("t")).otherwise(0)
+        ).cast("long").alias("active_micros"),
+        F.sum(
+            ((F.col("cum_after") == F.col("delta")) & (F.col("delta") == 1)).cast("int")
+        ).cast("long").alias("n_merged_spans"),
+    )
