@@ -828,3 +828,59 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "q_stream_stream_semi",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def q_stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join: clicks that converted (a same-
+    user purchase followed within 30 minutes), each click emitted at
+    most ONCE no matter how many purchases matched — the streaming
+    EXISTS, completing the stream-join family (inner:
+    q_stream_stream_join, left outer: q_stream_stream_left_outer).
+    Semi-join state is cheaper than inner-join state: a matched click
+    needs only a boolean, never the matched rows.
+
+    Same watermark/time-bound discipline as the inner join (state
+    evicted once no qualifying purchase can still arrive); the batch
+    oracle is the literal EXISTS subquery."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    )
+    out = run_stream_to_table(joined, "append")
+    return out.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        F.col("c_ts").alias("click_ts"),
+    )
