@@ -631,3 +631,73 @@ def q_event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("s").cast("long").alias("n_events"),
         F.regexp_count("s", F.lit("s[cv]*p")).cast("long").alias("n_conversions"),
     )
+
+
+@query(
+    "q_funnel_deadline",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT su.user_id,
+             MAX(CASE WHEN p.ts > su.t_signup
+                       AND p.ts <= su.t_signup + INTERVAL 24 HOUR
+                      THEN 1 ELSE 0 END) AS converted
+      FROM su LEFT JOIN events p
+        ON p.user_id = su.user_id AND p.event_type = 'purchase'
+      GROUP BY su.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted_24h,
+           CAST(ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+             AS conversion_rate
+    FROM conv
+    """,
+)
+def q_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-bound conversion: of users who signed up, how many
+    purchased within 24 HOURS of their FIRST signup — the
+    time-to-convert business metric that q_funnel_conversion's
+    order-only test and q_event_sequence_pattern's contiguity test
+    both deliberately do not impose.
+
+    Scale shape: the signup anchor is one per-user aggregate; the
+    deadline test joins purchases back on user_id (partial-agg'd
+    MAX of a boolean, so the join output collapses immediately), and
+    the final rate is a 1-row reduction. Two shuffles total, both on
+    user_id — AQE reuses the partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        su.join(p, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            # when(...).otherwise(0), not a bare cast: a signup user
+            # with NO purchases has only NULL p_ts rows, and MAX over
+            # NULL-from-NULL-comparison would stay NULL where the
+            # oracle's CASE yields 0.
+            F.max(
+                F.when(
+                    (F.col("p_ts") > F.col("t_signup"))
+                    & (F.col("p_ts") <= F.col("t_signup") + F.expr("INTERVAL 24 HOURS")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return conv.agg(
+        F.count("*").cast("long").alias("n_signup_users"),
+        F.sum("converted").cast("long").alias("n_converted_24h"),
+        F.round(F.sum("converted").cast("double") / F.count("*"), 6).alias(
+            "conversion_rate"
+        ),
+    )
