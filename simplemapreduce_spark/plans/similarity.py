@@ -919,3 +919,94 @@ def q_sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit).cast("double") / F.count("*"), 6).alias("recall_at_3"),
         )
     )
+
+
+@query(
+    "q_sim_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             {_sign_bucket_sql()} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < {N_QUERIES * 4}),
+    gt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY ROUND(list_cosine_similarity(q.qe, v.e), 4) DESC, v.vec_id) AS rank
+        FROM q JOIN v ON v.vec_id <> q.query_id
+      ) WHERE rank <= 3
+    ),
+    bucketed AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qe, v.e), 4) AS cos_sim
+      FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> q.query_id
+    ),
+    negatives AS (
+      SELECT b.query_id, b.neighbor_id, b.cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY b.query_id
+                                ORDER BY b.cos_sim DESC, b.neighbor_id) AS rank
+      FROM bucketed b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM gt WHERE gt.query_id = b.query_id
+                           AND gt.neighbor_id = b.neighbor_id
+      )
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM negatives WHERE rank <= 2
+    """,
+)
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive retrieval training: per
+    query, the most similar corpus vectors that are NOT among its
+    exact top-3 true neighbors — candidates drawn from the query's
+    own LSH bucket (so they are genuinely similar, which is what
+    makes them hard), true neighbors removed by anti-join against the
+    exact ground truth. The (query, positive, hard-negative) triple
+    is what trains dense retrievers (DPR/contrastive-loss style);
+    random negatives are trivially separable and teach nothing.
+
+    Scale shape: ground truth broadcasts the sampled query set over
+    one corpus scan (the expensive pass — run on a query SAMPLE, as
+    here); bucket candidates come from the equi-join; the anti-join
+    and the final per-query top-2 run on |queries| x bucket-occupancy
+    rows. Same deterministic (rounded-sim, id) ranking contract as
+    the rest of the similarity family."""
+    raw = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    v = raw.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        _sign_bucket_col().alias("bucket"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES * 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    gt = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    bucketed = v.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+    )
+    negatives = bucketed.join(gt, ["query_id", "neighbor_id"], "left_anti")
+    return (
+        negatives.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
