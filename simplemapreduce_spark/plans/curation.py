@@ -787,3 +787,59 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("pass_dedup").cast("int")).cast("long").alias("n_after_dedup"),
         F.sum(keep3.cast("int")).cast("long").alias("n_after_decontam"),
     )
+
+
+@query(
+    "q_sft_render",
+    oracle="""
+    WITH rendered AS (
+      SELECT doc_id,
+             '<|system|>You are a helpful assistant.<|user|>Summarize the '
+               || source || ' document in ' || lang
+               || '.<|assistant|>' AS prompt,
+             text AS response
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(prompt || response) AS example_md5,
+           CAST(len(list_filter(string_split_regex(prompt, '\\s+'), x -> x <> ''))
+                AS BIGINT) AS n_prompt_tokens,
+           CAST(len(list_filter(string_split_regex(response, '\\s+'), x -> x <> ''))
+                AS BIGINT) AS n_response_tokens,
+           (len(list_filter(string_split_regex(prompt, '\\s+'), x -> x <> ''))
+            + len(list_filter(string_split_regex(response, '\\s+'), x -> x <> ''))
+            <= 64) AS fits_budget
+    FROM rendered
+    """,
+)
+def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example assembly: render each document into a chat-template
+    training example (system + instruction + response with special
+    tokens), and compute the LOSS-MASK boundary — prompt-token vs
+    response-token counts (the split that decides which positions
+    contribute loss) — plus a sequence-budget flag. The rendered
+    string itself is fingerprinted (md5) so the oracle verifies the
+    byte-exact template assembly without hauling full prompts through
+    the compare.
+
+    Row-local string work end-to-end (scan-speed on a cluster); the
+    tokenization contract is the whitespace convention shared with
+    functions/text.py — a BPE swap changes only the count expression,
+    not the plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    prompt = F.concat(
+        F.lit("<|system|>You are a helpful assistant.<|user|>Summarize the "),
+        F.col("source"),
+        F.lit(" document in "),
+        F.col("lang"),
+        F.lit(".<|assistant|>"),
+    )
+    n_prompt = F.size(tokens(prompt))
+    n_response = F.size(tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.md5(F.concat(prompt, F.col("text"))).alias("example_md5"),
+        n_prompt.cast("long").alias("n_prompt_tokens"),
+        n_response.cast("long").alias("n_response_tokens"),
+        ((n_prompt + n_response) <= 64).alias("fits_budget"),
+    )
