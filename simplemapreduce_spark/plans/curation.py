@@ -592,29 +592,37 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sample_alpha_temperature",
     oracle="""
-    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 64 < 32 THEN 'b0_head'
+                  WHEN doc_id % 64 < 48 THEN 'b1_mid'
+                  WHEN doc_id % 64 < 63 THEN 'b2_mid'
+                  ELSE 'b3_tail' END AS bucket
+      FROM documents
+    ),
+    c AS (SELECT bucket, COUNT(*) AS n FROM d GROUP BY bucket),
     t AS (SELECT SUM(n) AS total FROM c),
     q AS (
-      SELECT source, n,
+      SELECT bucket, n,
              power(CAST(n AS DOUBLE) / t.total, 0.7) AS unnorm
       FROM c, t
     ),
     z AS (SELECT SUM(unnorm) AS zsum FROM q),
     rates AS (
-      SELECT source, n,
+      SELECT bucket, n,
              ROUND(LEAST(1.0,
                (q.unnorm / z.zsum) * (SELECT total / 2.0 FROM t) / q.n), 6) AS rate
       FROM q, z
     )
-    SELECT r.source,
+    SELECT r.bucket,
            CAST(r.n AS BIGINT) AS n_docs,
            CAST(r.rate AS DOUBLE) AS rate,
            CAST(SUM(CASE WHEN
                  (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                  % 1000000) < CAST(r.rate * 1000000 AS BIGINT)
+                  % 1000000) < r.rate * 1000000
                THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
-    FROM documents d JOIN rates r USING (source)
-    GROUP BY r.source, r.n, r.rate
+    FROM d JOIN rates r USING (bucket)
+    GROUP BY r.bucket, r.n, r.rate
     """,
 )
 def q_sample_alpha_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,22 +634,40 @@ def q_sample_alpha_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose target proportions are GIVEN; here they derive from the
     data itself.
 
-    Determinism across engines: the only irrational step (p^0.7) is
-    rounded to 6 decimals BEFORE becoming the integer hash threshold
-    (rate x 1e6), so a last-ulp pow() divergence cannot flip a
-    membership boundary. Scale shape: domain stats are one tiny
-    aggregate broadcast back over the scan; acceptance is a pure
+    The domain key is a doc_id-derived bucket with deliberately
+    UNEQUAL populations (1/2, 1/4, 15/64, 1/64) rather than the
+    fixture `source` column, whose uniform counts made every rate
+    collapse to exactly 0.5 — the flatten/boost exponent and the
+    LEAST(1.0, ...) clamp (which the 1/64 tail bucket does hit) were
+    never differentiated from plain 50 % sampling (ADVICE r3).
+
+    Determinism across engines: p^0.7 is rounded to 6 decimals before
+    thresholding, and the acceptance compare stays in the DOUBLE
+    domain on both engines (``hx < rate * 1e6`` — no integer cast:
+    Spark's long cast truncates while DuckDB's rounds, so a
+    non-representable rate*1e6 would otherwise give off-by-one
+    thresholds; ADVICE r3 medium). Scale shape: domain stats are one
+    tiny aggregate broadcast back over the scan; acceptance is a pure
     per-row hash compare — no RNG, no coordination, reproducible
     under retries."""
-    d = load_table(spark, sf_dir, "documents")
-    c = d.groupBy("source").agg(F.count("*").alias("n"))
+    d0 = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 64
+    d = d0.select(
+        "doc_id",
+        F.when(m < 32, "b0_head")
+        .when(m < 48, "b1_mid")
+        .when(m < 63, "b2_mid")
+        .otherwise("b3_tail")
+        .alias("bucket"),
+    )
+    c = d.groupBy("bucket").agg(F.count("*").alias("n"))
     t = c.agg(F.sum("n").alias("total"))
     q = c.crossJoin(F.broadcast(t)).select(
-        "source", "n", "total", F.pow(F.col("n").cast("double") / F.col("total"), 0.7).alias("unnorm")
+        "bucket", "n", "total", F.pow(F.col("n").cast("double") / F.col("total"), 0.7).alias("unnorm")
     )
     z = q.agg(F.sum("unnorm").alias("zsum"))
     rates = q.crossJoin(F.broadcast(z)).select(
-        "source",
+        "bucket",
         "n",
         F.round(
             F.least(
@@ -654,13 +680,15 @@ def q_sample_alpha_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     hx = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     ) % 1000000
-    sel = (hx < (F.col("rate") * 1000000).cast("long")).cast("int")
+    # Double-domain compare on both engines — never cast the threshold
+    # to an integer (Spark truncates, DuckDB rounds-to-nearest).
+    sel = (hx < F.col("rate") * 1000000).cast("int")
     return (
-        d.join(F.broadcast(rates), "source")
-        .groupBy("source", "n", "rate")
+        d.join(F.broadcast(rates), "bucket")
+        .groupBy("bucket", "n", "rate")
         .agg(F.sum(sel).cast("long").alias("n_selected"))
         .select(
-            "source",
+            "bucket",
             F.col("n").cast("long").alias("n_docs"),
             "rate",
             "n_selected",

@@ -131,9 +131,12 @@ def q_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pandas_udaf_weighted_mean",
     oracle="""
     SELECT l_returnflag,
-           CAST(ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+           CAST(ROUND(
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT))
+             / (100.0 * SUM(CAST(ROUND(l_quantity) AS BIGINT))), 6)
                 AS DOUBLE) AS weighted_avg_price,
-           CAST(SUM(l_quantity) AS DOUBLE) AS total_weight
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS total_weight
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -150,8 +153,18 @@ def q_pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's reduceF (common_reduce.go:78-87) but 10-100x the cost
     of the equivalent built-in SUM ratio; the docstring-level guidance
     stands: use this surface only for logic the built-ins cannot
-    express. Rounding happens inside the UDF with the same
-    half-even float64 semantics DuckDB's ROUND applies to doubles."""
+    express.
+
+    Exactness (ADVICE r3): the UDF accumulates in integer cents
+    (prices are fixed-2dp, quantities integer-valued), so the
+    numerator is order-independent — a float64 sum's pairwise-vs-
+    sequential ordering difference between pandas and DuckDB could
+    otherwise flip the 6-decimal rounding boundary. The single
+    division happens once at the end; the 6-decimal ROUND is applied
+    OUTSIDE the UDF (plain F.round on the result column), mirrored by
+    the oracle's ROUND over the identical integer arithmetic.
+    int64 headroom: ~1e7 cents x 50 qty per row leaves ~1.8e10 rows
+    per group before the per-group sum could wrap."""
     from pyspark.sql.functions import pandas_udf
 
     from simplemapreduce_spark.session import ensure_package_shipped
@@ -160,11 +173,13 @@ def q_pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def wmean(price: pd.Series, qty: pd.Series) -> float:
-        return float((price * qty).sum() / qty.sum())
+        cents = (price * 100).round().astype("int64")
+        q = qty.round().astype("int64")
+        return float(int((cents * q).sum()) / (100.0 * int(q.sum())))
 
     @pandas_udf("double")
     def wsum(qty: pd.Series) -> float:
-        return float(qty.sum())
+        return float(int(qty.round().astype("int64").sum()))
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

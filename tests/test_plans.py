@@ -499,6 +499,7 @@ def test_gaps_islands_window_partitioned_by_user(spark, sf_dir):
     df = catalog.QUERIES["q_ts_gaps_islands"](spark, sf_dir)
     plan = _plan(df)
     assert "Window" in plan
-    import re
-    w = plan[plan.index("Window"):]
-    assert "user_id" in w.split("\n", 3)[0] + w[:400]
+    # Assert on the partition spec itself — user_id appearing anywhere
+    # in the Window operator's projected columns would pass even with
+    # partitionBy dropped (ADVICE r3).
+    assert "windowspecdefinition(user_id" in plan

@@ -1,0 +1,170 @@
+"""Local replica of the grading driver's gate (.claude/skills/verify).
+
+Loads /root/repo/__spark_entry__.py module-by-path (exactly as the driver
+does — run this from a scratch cwd, not /root/repo), smoke-checks entry()
+at sf0.001, then for every queries() entry runs the Spark plan at sf0.01
+side-by-side with its oracle_sql() in DuckDB and compares sorted column
+names + row count + order-insensitive stringified rows.
+
+Usage:
+    cd /tmp && python /root/repo/tools/driver_sim.py [--only q_a,q_b] [--first N]
+Exit code 0 iff every checked query passes (rows-only queries count as
+pass when they run and schema is stable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def fmt_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(fmt_cell(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(fmt_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="", help="comma-separated query names")
+    ap.add_argument("--first", type=int, default=0, help="check only the first N registered")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--skip-smoke", action="store_true")
+    args = ap.parse_args()
+
+    os.environ.setdefault("PYTHONPATH", "/root/repo")
+    sys.path.insert(0, "/root/repo")
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    failures: list[str] = []
+
+    if not args.skip_smoke:
+        t0 = time.time()
+        res = m.entry(spark)
+        n = len(res.collect())
+        print(f"entry() smoke: {n} rows, schema={[f.name for f in res.schema]} "
+              f"({time.time()-t0:.1f}s)")
+        if n < 0:
+            failures.append("entry")
+
+    queries = m.queries()
+    oracles = m.oracle_sql()
+    names = list(queries)
+    if args.only:
+        names = [n for n in args.only.split(",") if n]
+    elif args.first:
+        names = names[: args.first]
+
+    n_pass = n_rowsonly = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, args.sf)
+            scols = sorted(sdf.columns)
+            srows = sdf.collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            n_rowsonly += 1
+            print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            ocols = sorted(d[0] for d in rel.description)
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: oracle error {type(e).__name__}: {e}")
+            continue
+        if scols != ocols:
+            failures.append(name)
+            print(f"FAIL {name}: schema {scols} vs {ocols}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(srows)} vs {len(orows)}")
+            continue
+        sk, ok = rows_key(sdf.columns, srows), rows_key(
+            [d[0] for d in rel.description], orows
+        )
+        if sk != ok:
+            failures.append(name)
+            diff = next(
+                (i for i, (a, b) in enumerate(zip(sk, ok)) if a != b), None
+            )
+            print(f"FAIL {name}: value mismatch at sorted-row {diff}:")
+            if diff is not None:
+                print(f"  spark:  {sk[diff][:300]}")
+                print(f"  oracle: {ok[diff][:300]}")
+        else:
+            n_pass += 1
+            print(f"pass {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+
+    print(
+        json.dumps(
+            {
+                "checked": len(names),
+                "pass": n_pass,
+                "rows_only": n_rowsonly,
+                "fail": len(failures),
+                "failures": failures,
+            }
+        )
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
