@@ -219,6 +219,34 @@ def q_text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, token, cnt, doc_len) term-frequency table —
+    the shared index of the lexical-scoring family (TF-IDF and BM25
+    both consume it; at production scale this becomes a parquet
+    checkpoint of the term-frequency table, the same discipline as the
+    minhash hash-table persist in plans/dedup.py).
+
+    doc_len is row-local (array size BEFORE the explode) and rides the
+    shuffle as a carried column — no separate length aggregation and
+    no doc_id join. The subtree feeds multiple branches in every
+    consumer (document-frequency aggregate + final join); Spark has no
+    cross-branch subtree reuse, so without the persist the
+    tokenize+explode+groupBy ran once per branch (measured 1.6x on
+    tfidf alone, 3 subtree copies in the un-shared BM25)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("doc_len"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    return memo_persist(
+        toks.groupBy("doc_id", "token").agg(
+            F.count("*").alias("cnt"), F.first("doc_len").alias("doc_len")
+        ),
+        f"llm_text.tfidf_tf:{sf_dir}",
+        table_stamp(sf_dir, "documents"),
+    )
+
+
 @query(
     "q_text_tfidf",
     oracle="""
@@ -245,28 +273,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized (small) so its join broadcasts. ln() arguments are
     exact integer ratios, so both engines evaluate the same double."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # doc_len is row-local (array size BEFORE the explode) and rides
-    # the shuffle as a carried column — no separate length aggregation
-    # and no doc_id join. One full-size shuffle total (tf); document
-    # frequency aggregates the already-vocabulary-sized tf and joins
-    # back as a broadcast.
-    toks = d.select(
-        "doc_id", F.size(tokens("text")).cast("long").alias("doc_len"),
-        F.explode(tokens("text")).alias("token"),
-    )
-    # tf feeds BOTH the document-frequency aggregate and the final
-    # join; Spark has no cross-branch subtree reuse, so without the
-    # persist the tokenize+explode+groupBy subtree runs twice (same
-    # rationale as the minhash hash-table persist in plans/dedup.py —
-    # at production scale this becomes a parquet checkpoint of the
-    # term-frequency table). Measured 1.6x on the whole query.
-    tf = memo_persist(
-        toks.groupBy("doc_id", "token").agg(
-            F.count("*").alias("cnt"), F.first("doc_len").alias("doc_len")
-        ),
-        f"llm_text.tfidf_tf:{sf_dir}",
-        table_stamp(sf_dir, "documents"),
-    )
+    tf = _tf_table(spark, sf_dir)
     dfreq = tf.groupBy("token").agg(F.count("*").alias("n_docs"))
     n = d.agg(F.count("*").alias("n_total"))
     tfidf = F.round(
@@ -492,22 +499,23 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document against a fixed query-term set
     — the retrieval scorer TF-IDF feeds into (k1/b saturation + length
     normalization, Robertson-Spärck Jones IDF in the ln(1 + ...) form
-    that keeps scores positive). One token explosion feeds term
-    frequencies, document lengths, and document frequencies; the query
-    side, per-term IDF table, and corpus stats are all
-    vocabulary-or-smaller (broadcast by AQE), so scoring the whole
-    corpus is one scan + one tf shuffle at any size. The score
-    expression tree is written identically on both engines, rounded at
-    the boundary."""
+    that keeps scores positive). Consumes the SAME memoized
+    term-frequency table as TF-IDF (_tf_table — doc_len carried
+    row-locally, so no separate length aggregation or doc_id join, and
+    document frequency aggregates the already-vocabulary-sized tf
+    rather than re-exploding the corpus: n_with = rows per token in
+    tf, exactly COUNT(DISTINCT doc_id)). The query side, per-term IDF
+    table, and corpus stats are all vocabulary-or-smaller (broadcast),
+    so scoring the whole corpus is one scan + one tf shuffle at any
+    size. The score expression tree is written identically on both
+    engines, rounded at the boundary."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    tf = _tf_table(spark, sf_dir)
     stats = d.agg(
         F.count("*").alias("n_docs"),
         (F.sum(F.size(tokens("text"))).cast("double") / F.count("*")).alias("avg_len"),
     )
-    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("n_with"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("n_with"))
     q = spark.createDataFrame([(t,) for t in _BM25_TERMS], ["token"])
     idf = F.log(
         1.0
@@ -520,8 +528,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(F.broadcast(q), "token")
-        .join(dl, "doc_id")
-        .join(dfreq, "token")
+        .join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(score), 6).alias("bm25"))

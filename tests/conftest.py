@@ -34,3 +34,26 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMALL
+
+
+@pytest.fixture(scope="session", autouse=True)
+def scratch_fully_collectable():
+    """Suite-end invariant (VERDICT r3 #7): everything the suite wrote
+    under /tmp/smr_scratch must be removable by gc_scratch alone — no
+    artifact may outlive its age window (a leaked open handle or a
+    path outside the sweep would show up here as a leftover). The
+    negative max_age pushes the cutoff a few seconds into the future
+    so even artifacts written this second count as stale.
+
+    autouse+session scope makes this fixture set up first and tear
+    down last, i.e. after the Spark session has stopped releasing any
+    files it held."""
+    yield
+    import tempfile
+
+    from simplemapreduce_spark.session import gc_scratch
+
+    gc_scratch(max_age_hours=-0.01)
+    scratch = os.path.join(tempfile.gettempdir(), "smr_scratch")
+    leftover = os.listdir(scratch) if os.path.isdir(scratch) else []
+    assert not leftover, f"smr_scratch entries gc_scratch could not remove: {leftover}"

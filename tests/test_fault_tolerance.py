@@ -13,6 +13,7 @@ task failure via TaskContext.attemptNumber().
 from __future__ import annotations
 
 import os
+import re
 import subprocess
 import sys
 
@@ -163,3 +164,90 @@ def test_job_survives_worker_process_death():
     # same pattern as the task-failure sibling): Spark logs the dead
     # worker socket before retrying.
     assert "Python worker exited unexpectedly" in proc.stderr
+
+
+_EXECUTOR_LOSS_SCRIPT = r"""
+import os, re, signal, subprocess, sys, threading, time
+
+import pyspark
+os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+
+from pyspark.sql import SparkSession, functions as F
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,1,1024]")  # 2 executor JVMs
+    .appName("smr-executor-loss")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+
+df = spark.range(0, 800, 1, 8)  # 8 tasks over 2 single-core executors
+
+def slow_double(batches):
+    import time as _t
+    _t.sleep(2.0)  # keep tasks in flight while the kill lands
+    for pdf in batches:
+        pdf["doubled"] = pdf["id"] * 2
+        yield pdf
+
+out = df.mapInPandas(slow_double, "id long, doubled long")
+
+result = {}
+def run_job():
+    result["total"] = out.agg(F.sum("doubled").alias("s")).collect()[0]["s"]
+
+t = threading.Thread(target=run_job)
+t.start()
+
+# Find a CoarseGrainedExecutorBackend JVM and SIGKILL it mid-job —
+# true EXECUTOR loss (whole JVM with its task state and shuffle
+# output), not just a python worker death. Match only java processes:
+# this driver's own argv contains the class name too (the script text
+# rides in `python -c`), and killing ourselves is not the test.
+time.sleep(3.0)
+pids = []
+ps = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True, text=True)
+for line in ps.stdout.splitlines():
+    pid_s, _, args = line.strip().partition(" ")
+    if "CoarseGrainedExecutorBackend" in args and "java" in args.split(" ", 1)[0]:
+        pids.append(int(pid_s))
+assert pids, "no executor JVMs found to kill"
+os.kill(pids[0], signal.SIGKILL)
+print("KILLED-EXECUTOR", pids[0], file=sys.stderr)
+
+t.join(timeout=240)
+assert not t.is_alive(), "job hung after executor loss"
+assert result["total"] == 2 * sum(range(800)), result
+print("EXECUTOR-LOSS-OK", result["total"])
+spark.stop()
+"""
+
+
+def test_job_survives_executor_loss():
+    """An entire executor JVM SIGKILLed mid-job (local-cluster mode:
+    real separate executor processes) must be absorbed — the
+    standalone master relaunches the executor and the TaskScheduler
+    re-runs its lost tasks. This is the executor-grain form of the
+    reference's worker-churn test (distributed_test.go:52-73), one
+    level harsher than the python-worker death below: shuffle state
+    and every running task on the JVM vanish at once."""
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _EXECUTOR_LOSS_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-3000:])
+    assert "EXECUTOR-LOSS-OK 639200" in proc.stdout
+    # Vacuity guard: the kill must have actually fired and Spark must
+    # have seen the executor drop.
+    assert "KILLED-EXECUTOR" in proc.stderr
+    assert re.search(r"Lost executor|ExecutorLostFailure|worker lost", proc.stderr, re.I), (
+        proc.stderr[-3000:]
+    )

@@ -13,6 +13,8 @@ mirroring the reference's own test suite (SURVEY.md §5):
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from simplemapreduce_spark.operators.map_reduce import map_reduce
@@ -106,3 +108,40 @@ def test_rdd_api_matches_dataframe_api(spark):
     got_rdd = map_reduce_rdd(df, map_f, reduce_f, n_partitions=3)
     assert [tuple(r) for r in got_df.collect()] == [tuple(r) for r in got_rdd.collect()]
     assert [tuple(r) for r in got_rdd.collect()] == [("a", "2"), ("b", "2"), ("c", "1")]
+
+
+def test_flagship_final_artifact_bytes(spark, sf_dir, tmp_path):
+    """Byte-level golden check of the flagship's final artifact against
+    the reference's merge semantics (master.go:112-127): ONE text file,
+    keys in lexicographic STRING order (sort.Strings, :116), each line
+    rendered "<key>: <value>" (format string at :124 — the identity
+    reduceF of the reference test suite leaves value empty, so lines
+    end "token: "). The expected bytes are built independently in
+    Python from the raw parquet (str.split == Go strings.Fields:
+    whitespace runs, empties dropped; sorted() == sort.Strings for
+    UTF-8), so this pins the whole pipeline — tokenize, distinct,
+    sort, render, single-file sink — not just a row count
+    (VERDICT r3 next-round #5)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from simplemapreduce_spark import catalog
+    from simplemapreduce_spark.sinks import write_key_value_text
+
+    catalog.load_all()
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    toks = sorted({t for s in texts.column("text").to_pylist() for t in s.split()})
+    expected = "".join(f"{t}: \n" for t in toks).encode("utf-8")
+
+    out = str(tmp_path / "mr_final")
+    df = catalog.QUERIES["mr_sorted_distinct_tokens"](spark, sf_dir)
+    write_key_value_text(df.select("token", F.lit("").alias("value")), out, key="token")
+
+    parts = _glob.glob(os.path.join(out, "part-*"))
+    assert len(parts) == 1, "reference merge produces exactly one output file"
+    with open(parts[0], "rb") as f:
+        got = f.read()
+    assert got == expected

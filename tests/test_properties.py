@@ -199,6 +199,16 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "q_attribution_touch",
         "q_sim_lsh_recall_eval",
         "q_event_sequence_pattern",
+        # Round-4: the two iterative k-means queries now carry EXACT
+        # unrolled-SQL oracles — partition invariance of the training
+        # loop (rounded assign distances / centroid means) is the
+        # property that makes those oracles valid on any cluster; plus
+        # the two ADVICE-fixed queries (double-domain sampling
+        # threshold, integer-cents UDAF).
+        "q_sim_ivf_kmeans_topk",
+        "q_sim_pq_topk",
+        "q_sample_alpha_temperature",
+        "q_pandas_udaf_weighted_mean",
     ):
         assert run(name, 3) == run(name, 17), name
 

@@ -30,14 +30,16 @@ def main() -> None:
     rows_only = sorted(set(catalog.QUERIES) - set(catalog.ORACLES))
 
     lines = [
-        "### 2.3 Implemented catalog (round-3 snapshot, auto-generated)\n",
+        "### 2.3 Implemented catalog (round-4 snapshot, auto-generated)\n",
         f"""{n_q} registered queries, {n_o} with DuckDB oracles (the {n_q - n_o} rows-only
-entries are seeded pyspark.ml LSH and iterative k-means/PQ — none
-SQL-expressible exactly; the HLL sketches are oracled via an exact-count
-+ bounds-witness contract). Every entry below is a `queries()` key; the
-driver-priority front 50 (catalog.py:58) leads with round 1's
-never-re-judged reds, then rotates never-driver-checked queries across
-every §2.2 category (see catalog.py DRIVER_PRIORITY).
+entries are the seeded pyspark.ml LSH wrappers — JVM-internal hash
+families, genuinely not oracle-able; the iterative k-means/PQ queries
+gained exact unrolled-SQL oracles in round 4, and the HLL sketches are
+oracled via an exact-count + bounds-witness contract). Every entry
+below is a `queries()` key; the driver-priority front 50 (catalog.py)
+rotates never-driver-checked modules each round — see
+DRIVER_COVERAGE.md (tools/gen_driver_coverage.py) for the live
+per-query driver-verdict residue.
 
 | Module (`simplemapreduce_spark/`) | # | Queries (`name`:line) |
 |---|---|---|""",

@@ -1,0 +1,126 @@
+"""One-off scale empiricism (VERDICT r3 next-round #6): measure how the
+most expensive bench queries scale from sf0.1 to a 10x replica.
+
+No sf1.0 fixture exists, so this builds one in /tmp by unioning K
+shifted copies of the sf0.1 tables (id columns offset by 1e9 per copy
+so keys stay unique and FK joins keep their hit rates; dimension
+tables region/nation/supplier/part are kept as-is — scale-up grows
+facts, not dims). Content columns are left untouched, which makes the
+dedup corpus K exact copies of every document — noted in BASELINE.md
+where the numbers are recorded (candidate buckets get denser than an
+organic corpus; the MAX_BUCKET cap is exactly the mechanism that
+bounds that, so it is a fair stress).
+
+Usage: python tools/scale_probe.py [K]   (default K=10)
+Prints one JSON line with per-query sf0.1 vs K-scaled timings and the
+observed scaling exponent log(t_K/t_1)/log(K).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SRC = "/root/testdata/sf0.1"
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = f"/tmp/smr_scaled_sf0.1x{K}"
+OFF = 1_000_000_000
+
+# id columns to shift per copy (FKs shifted consistently with their PKs)
+SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],
+}
+COPY = ["region", "nation", "supplier", "part"]
+
+# The 5 most expensive steady-state queries per BENCH_r03 plan audit.
+PROBE = [
+    "q_dedup_minhash_lsh",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q3_shipping_priority",
+    "q_window_moving_avg",
+]
+
+
+def build_scaled(spark) -> None:
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    from pyspark.sql import functions as F
+
+    for t in COPY:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    for t, keys in SHIFT.items():
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(K):
+            df = base
+            for kcol in keys:
+                df = df.withColumn(kcol, F.col(kcol) + F.lit(i * OFF))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # one flat dir of parquet part files; load_table reads dirs too
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    from simplemapreduce_spark import catalog
+    from simplemapreduce_spark.cache import clear_memo
+    from simplemapreduce_spark.session import get_spark
+
+    catalog.load_all()
+    spark = get_spark("scale-probe")
+    print(f"building {K}x replica at {DST} ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    build_scaled(spark)
+    print(f"built in {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+
+    results = {}
+    for name in PROBE:
+        fn = catalog.QUERIES[name]
+        # warm both plans once, then best-of-3 each (JIT already tiered
+        # by the warmups at the small SF)
+        fn(spark, SRC).write.format("noop").mode("overwrite").save()
+        t1 = time_query(fn, spark, SRC)
+        clear_memo()
+        fn(spark, DST).write.format("noop").mode("overwrite").save()
+        tk = time_query(fn, spark, DST)
+        clear_memo()
+        exp = math.log(tk / t1) / math.log(K)
+        results[name] = {
+            "sf0.1_sec": round(t1, 3),
+            f"x{K}_sec": round(tk, 3),
+            "scaling_exponent": round(exp, 3),
+        }
+        print(name, results[name], file=sys.stderr)
+
+    print(json.dumps({"k": K, "queries": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
