@@ -741,3 +741,246 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (no partsupp: supply relation derived
+# from lineitem history)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    ranked AS (
+      SELECT p_partkey, p_name, s_name, n_name, s_acctbal, cost_cents,
+             ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                ORDER BY cost_cents, l_suppkey) AS rk
+      FROM part
+        JOIN supply ON p_partkey = l_partkey
+        JOIN eu ON l_suppkey = s_suppkey
+      WHERE p_size = 15 AND p_type = 'SMALL')
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+           CAST(cost_cents AS DOUBLE) / 100 AS min_cost
+    FROM ranked WHERE rk = 1
+    ORDER BY p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a size/type slice, the
+    cheapest European supplier. Adapted: the testdata has no partsupp,
+    so the supply relation is derived as MIN(l_extendedprice) per
+    (part, supplier) pair observed in lineitem — exact integer cents.
+    Plan: pair-key partial agg on the fact scan (the only big
+    shuffle), then a broadcast join against the region-filtered
+    supplier dim (~20 rows), then a per-part window rank whose input
+    is already just |slice parts| x |EU suppliers| rows. The selective
+    part predicate is pushed to the parquet scan and bounds the
+    window input regardless of corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cost_cents")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("p_partkey").orderBy("cost_cents", "l_suppkey")
+    return (
+        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), supply.l_suppkey == eu.s_suppkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            (F.col("cost_cents").cast("double") / 100).alias("min_cost"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock value (global-fraction HAVING)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS units
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, CAST(units AS DOUBLE) / 10000 AS part_value
+    FROM v
+    WHERE units * 800 > (SELECT SUM(units) FROM v)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part discounted value shipped by one
+    nation's suppliers, kept only when above a fixed fraction
+    (0.125 %) of that nation's total. Adapted: value comes from
+    lineitem (no partsupp); the threshold compare happens in the
+    exact integer-unit domain (units*800 > total) so both engines
+    agree bit-for-bit at the boundary. Plan: the 4-supplier dim
+    broadcasts into the fact scan, one partial/final hash agg on
+    l_partkey, and the grand total re-aggregates THE SAME agg output
+    (tiny) and broadcasts back as a 1-row cross join — the fact table
+    is scanned once."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(unit).alias("units"))
+    )
+    total = v.agg(F.sum("units").alias("total_units"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("units") * 800 > F.col("total_units"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("units").cast("double") / 10000).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count by part attributes (NOT-IN exclusion)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+      AND p_size IN (5, 10, 15, 20, 25, 30)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) bucket, excluding a blocklisted supplier set. Adapted: the
+    exclusion list is suppliers with negative balance (the fixture
+    has no complaint comments); supply pairs come from lineitem. The
+    part filter broadcasts into the fact scan; the exclusion is a
+    broadcast left-anti join (NULL-safe NOT IN is not needed —
+    s_suppkey is a non-null PK); count(distinct) expands to the
+    standard two-phase expand+agg that Catalyst plans, keyed on the
+    grouping columns."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "ECONOMY")
+        & (F.col("p_size").isin(5, 10, 15, 20, 25, 30))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant-share suppliers of a part class (nested aggregates)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q20_excess_share_suppliers",
+    oracle="""
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+    q97 AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS qty_cents
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    tot AS (SELECT l_partkey, SUM(qty_cents) AS total_cents FROM q97 GROUP BY l_partkey),
+    dominant AS (
+      SELECT DISTINCT l_suppkey FROM q97 JOIN tot USING (l_partkey)
+      WHERE qty_cents * 3 > total_cents * 2)
+    SELECT s_name, n_name
+    FROM supplier JOIN dominant ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY s_name
+    """,
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a dominant share of some
+    part's flow. Adapted: with no partsupp availqty, "excess" becomes
+    shipping more than 2/3 of a red part's total 1997 quantity. Both
+    aggregates reuse one date+part-filtered scan: the per-part total
+    re-aggregates the (part, supplier) partial — no second pass over
+    the fact table — and the share test stays in exact integer
+    hundredths (qty*3 > total*2). The final name lookup is a
+    broadcast semi join into the 100-row supplier dim."""
+    red = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red %")).select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    q97 = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"))
+    )
+    tot = q97.groupBy("l_partkey").agg(F.sum("qty_cents").alias("total_cents"))
+    dominant = (
+        q97.join(tot, "l_partkey")
+        .filter(F.col("qty_cents") * 3 > F.col("total_cents") * 2)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
