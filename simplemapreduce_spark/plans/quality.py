@@ -453,3 +453,77 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_p, 6).alias("benford_p"),
         F.round(F.pow(obs - exp_p, F.lit(2)) / exp_p * F.col("tot"), 6).alias("chi2_term"),
     )
+
+
+# --------------------------------------------------------------------
+# Text-encoding audit (mojibake / control-character screening)
+# --------------------------------------------------------------------
+
+@query(
+    "q_text_encoding_audit",
+    oracle="""
+    WITH corrupted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN text || chr(65533) || chr(65533)
+                  WHEN doc_id % 7 = 1 THEN chr(1) || chr(2) || text
+                  ELSE text END AS t
+      FROM documents),
+    m AS (
+      SELECT source,
+             LENGTH(t) - LENGTH(REPLACE(t, chr(65533), '')) AS n_repl,
+             LENGTH(t) - LENGTH(REPLACE(REPLACE(t, chr(1), ''), chr(2), '')) AS n_ctrl
+      FROM corrupted)
+    SELECT source,
+           COUNT(*) AS docs,
+           SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS docs_mojibake,
+           SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS docs_control,
+           SUM(n_repl) AS total_replacement_chars,
+           SUM(CASE WHEN n_repl = 0 AND n_ctrl = 0 THEN 1 ELSE 0 END) AS docs_clean
+    FROM m
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-sanity screen for a text corpus: per source, how many
+    documents carry U+FFFD replacement characters (mojibake — evidence
+    of a bad decode upstream) or C0 control characters (binary
+    contamination). Standard pre-training hygiene gate: such documents
+    are dropped or re-decoded before tokenization.
+
+    The fixture corpus is clean ASCII, so — following this module's
+    anti-vacuity convention — the query layers deterministic corruption
+    keyed on doc_id residues (every class populated) and then detects
+    it. Counting is the replace-and-diff idiom (LENGTH(t) -
+    LENGTH(REPLACE(t, ch, ''))): built-in string functions only,
+    map-side, one hash agg on source — no shuffle beyond the final
+    small-key agg at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("��")))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("\x01\x02"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    n_repl = F.length("t") - F.length(F.replace(F.col("t"), F.lit("�"), F.lit("")))
+    n_ctrl = F.length("t") - F.length(
+        F.replace(F.replace(F.col("t"), F.lit("\x01"), F.lit("")), F.lit("\x02"), F.lit(""))
+    )
+    return (
+        d.select("source", t.alias("t"))
+        .select(
+            "source",
+            n_repl.alias("n_repl"),
+            n_ctrl.alias("n_ctrl"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("n_repl") > 0, 1).otherwise(0)).alias("docs_mojibake"),
+            F.sum(F.when(F.col("n_ctrl") > 0, 1).otherwise(0)).alias("docs_control"),
+            F.sum("n_repl").alias("total_replacement_chars"),
+            F.sum(
+                F.when((F.col("n_repl") == 0) & (F.col("n_ctrl") == 0), 1).otherwise(0)
+            ).alias("docs_clean"),
+        )
+        .orderBy("source")
+    )

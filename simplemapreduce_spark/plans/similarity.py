@@ -1252,3 +1252,212 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 2)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Radius (range) search — all neighbors within a cosine threshold
+# ---------------------------------------------------------------------------
+
+_RANGE_T4 = 2500  # cosine >= 0.25, in round(cos*1e4) integer units
+
+
+@query(
+    "q_sim_range_search",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES + 3}),
+    s AS (
+      SELECT query_id, v.vec_id AS neighbor_id,
+             CAST(ROUND(list_cosine_similarity(q.qe, v.e) * 10000, 0) AS BIGINT) AS cos4
+      FROM q JOIN v ON v.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, CAST(cos4 AS DOUBLE) / 10000 AS cos_sim
+    FROM s WHERE cos4 >= {_RANGE_T4}
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every neighbor within cosine >= 0.25 of each
+    query vector (the range-query dual of top-k; used for near-dup
+    harvesting where the result size is data-dependent, not fixed).
+    The threshold test runs in the rounded-integer domain
+    (round(cos*1e4) >= 2500) so the boundary decision is identical on
+    both engines. Plan: queries broadcast, one scan of the corpus,
+    selection is a map-side filter — no shuffle at all; result size is
+    bounded by the radius, not by N_QUERIES x N."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES + 3).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos4 = F.round(cosine_similarity(F.col("qe"), F.col("e")) * 10000).cast("long")
+    return (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos4", cos4)
+        .filter(F.col("cos4") >= _RANGE_T4)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("cos4").cast("double") / 10000).alias("cos_sim"),
+        )
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (greedy, unrolled to a fixed K)
+# ---------------------------------------------------------------------------
+
+_MMR_CAND_K = 10  # relevance top-k candidate pool per query
+_MMR_SELECT_K = 4  # diversified picks per query
+# lambda = 0.7 as exact integers scaled by 10: score = 7*rel4 - 3*maxsim4
+_MMR_L_NUM, _MMR_D_NUM = 7, 3
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy-MMR oracle. Step 1 picks pure argmax relevance;
+    each later step scores the not-yet-selected candidates as
+    7*rel4 - 3*max(sim4 to the selected set) — all exact integers —
+    and picks the max (cand_id tie-break). Fixed SELECT_K makes the
+    greedy loop expressible as plain chained CTEs, no recursion."""
+    parts = [
+        f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT query_id, v.vec_id AS cand_id,
+             CAST(ROUND(list_cosine_similarity(q.qe, v.e) * 10000, 0) AS BIGINT) AS rel4,
+             v.e AS ce
+      FROM q JOIN v ON v.vec_id <> q.query_id),
+    c AS (
+      SELECT query_id, cand_id, rel4, ce FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel4 DESC, cand_id) AS rn
+        FROM scored) WHERE rn <= {_MMR_CAND_K}),
+    p AS (
+      SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+             CAST(ROUND(list_cosine_similarity(a.ce, b.ce) * 10000, 0) AS BIGINT) AS sim4
+      FROM c a JOIN c b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+    s1 AS (
+      SELECT query_id, cand_id, 1 AS step, {_MMR_L_NUM} * rel4 AS mmr_score FROM (
+        SELECT query_id, cand_id, rel4,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel4 DESC, cand_id) AS rn
+        FROM c) WHERE rn = 1),
+    sel1 AS (SELECT query_id, cand_id FROM s1)"""
+    ]
+    for k in range(2, _MMR_SELECT_K + 1):
+        parts.append(
+            f""",
+    m{k} AS (
+      SELECT c.query_id, c.cand_id, c.rel4, MAX(p.sim4) AS msim
+      FROM c
+        JOIN p ON p.query_id = c.query_id AND p.a_id = c.cand_id
+        JOIN sel{k - 1} s ON s.query_id = p.query_id AND s.cand_id = p.b_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel{k - 1} x
+                        WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+      GROUP BY c.query_id, c.cand_id, c.rel4),
+    s{k} AS (
+      SELECT query_id, cand_id, {k} AS step,
+             {_MMR_L_NUM} * rel4 - {_MMR_D_NUM} * msim AS mmr_score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY {_MMR_L_NUM} * rel4 - {_MMR_D_NUM} * msim DESC, cand_id) AS rn
+        FROM m{k}) WHERE rn = 1),
+    sel{k} AS (SELECT query_id, cand_id FROM sel{k - 1}
+               UNION ALL SELECT query_id, cand_id FROM s{k})"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT query_id, step, cand_id, mmr_score FROM s{k}"
+        for k in range(1, _MMR_SELECT_K + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({union}) ORDER BY query_id, step")
+    return "".join(parts)
+
+
+@query("q_sim_mmr_rerank", oracle=_mmr_oracle_sql())
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: per query, take the
+    relevance top-10, then greedily pick 4 results maximizing
+    lambda*relevance - (1-lambda)*max-similarity-to-already-picked
+    (lambda=0.7). Diversification for retrieval-augmented training
+    batches — avoids filling a context window with near-duplicates.
+
+    Greedy selection is inherently sequential in k, so the loop is
+    unrolled to the fixed SELECT_K=4 as chained dataframe stages; all
+    scoring stays in exact scaled integers (7*rel4 - 3*maxsim4), so
+    Spark and the unrolled-CTE DuckDB oracle agree bit-for-bit. Scale:
+    the expensive stage is the one corpus scan for the candidate pool
+    (broadcast queries, map-side); everything after operates on
+    |Q| x CAND_K rows — driver-free and constant-bounded per query
+    regardless of corpus size."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    rel4 = F.round(cosine_similarity(F.col("qe"), F.col("e")) * 10000).cast("long")
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("cand_id"), rel4.alias("rel4"),
+        F.col("e").alias("ce"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rel4").desc(), "cand_id")
+    c = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_CAND_K)
+        .drop("rn")
+    )
+    # Pairwise candidate sims: |Q| x K x (K-1) rows — tiny, row-local.
+    a = c.select(
+        F.col("query_id").alias("p_qid"), F.col("cand_id").alias("a_id"),
+        F.col("ce").alias("ae"),
+    )
+    b = c.select(
+        F.col("query_id").alias("b_qid"), F.col("cand_id").alias("b_id"),
+        F.col("ce").alias("be"),
+    )
+    p = (
+        a.join(b, (a.p_qid == b.b_qid) & (a.a_id != b.b_id))
+        .select(
+            "p_qid", "a_id", "b_id",
+            F.round(cosine_similarity(F.col("ae"), F.col("be")) * 10000)
+            .cast("long").alias("sim4"),
+        )
+    )
+    cands = c.select("query_id", "cand_id", "rel4")
+    sel = (
+        cands.withColumn(
+            "rn", F.row_number().over(W.partitionBy("query_id").orderBy(F.col("rel4").desc(), "cand_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", F.lit(1).alias("step"), "cand_id",
+            (F.lit(_MMR_L_NUM) * F.col("rel4")).alias("mmr_score"),
+        )
+    )
+    chosen = sel.select("query_id", "cand_id")
+    for k in range(2, _MMR_SELECT_K + 1):
+        remaining = cands.join(chosen, ["query_id", "cand_id"], "left_anti")
+        m = (
+            remaining.join(
+                p, (p.p_qid == remaining.query_id) & (p.a_id == remaining.cand_id)
+            )
+            .join(
+                chosen.select(
+                    F.col("query_id").alias("s_qid"), F.col("cand_id").alias("s_cid")
+                ),
+                (F.col("s_qid") == F.col("p_qid")) & (F.col("s_cid") == F.col("b_id")),
+            )
+            .groupBy("query_id", "cand_id", "rel4")
+            .agg(F.max("sim4").alias("msim"))
+        )
+        score = F.lit(_MMR_L_NUM) * F.col("rel4") - F.lit(_MMR_D_NUM) * F.col("msim")
+        pick = (
+            m.withColumn("mmr_score", score)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(F.col("mmr_score").desc(), "cand_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.lit(k).alias("step"), "cand_id", "mmr_score")
+        )
+        sel = sel.unionByName(pick)
+        chosen = sel.select("query_id", "cand_id")
+    return sel.orderBy("query_id", "step")

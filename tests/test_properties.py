@@ -209,6 +209,14 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "q_sim_pq_topk",
         "q_sample_alpha_temperature",
         "q_pandas_udaf_weighted_mean",
+        # Round-4 additions: the derived-supply TPC-H adaptations rank
+        # inside per-part windows (Q2) and compare against re-aggregated
+        # totals (Q11/Q20) — both patterns must not depend on shuffle
+        # fan-in; greedy MMR chains four window-argmax stages whose
+        # tie-breaks must hold under any partitioning.
+        "q2_min_cost_supplier",
+        "q20_excess_share_suppliers",
+        "q_sim_mmr_rerank",
     ):
         assert run(name, 3) == run(name, 17), name
 
