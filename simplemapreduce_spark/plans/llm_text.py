@@ -985,3 +985,170 @@ def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", bucket.alias("bucket"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@query(
+    "q_text_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter({_SQL_TOKENS},
+                 t -> list_contains(['the','and','of','is','a'], lower(t)))) AS en_hits,
+             len(list_filter({_SQL_TOKENS},
+                 t -> list_contains(['der','und','die','das','ist'], lower(t)))) AS de_hits,
+             len(list_filter({_SQL_TOKENS},
+                 t -> list_contains(['el','la','de','los','es'], lower(t)))) AS es_hits
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                  WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                  WHEN es_hits > 0 THEN 'es'
+                  ELSE 'unknown' END AS predicted_lang
+      FROM scored)
+    SELECT lang, predicted_lang, COUNT(*) AS n
+    FROM pred GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix: the stopword-hit langid
+    heuristic (q_text_langid) scored against the corpus's labeled
+    ``lang`` column — the aggregate view a pipeline owner reads before
+    trusting a cheap classifier as a filter stage. Same predictor
+    expression as q_text_langid, then one small-key hash agg on
+    (true, predicted); output is |langs|^2-bounded regardless of
+    corpus size."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+
+    def hits(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+    en = hits(("the", "and", "of", "is", "a"))
+    de = hits(("der", "und", "die", "das", "ist"))
+    es = hits(("el", "la", "de", "los", "es"))
+    predicted = (
+        F.when((en >= de) & (en >= es) & (en > 0), "en")
+        .when((de >= es) & (de > 0), "de")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+_LEX_QUERIES = 10  # doc_id < 10 are the retrieval queries
+_LEX_TOP_K = 3
+
+
+@query(
+    "q_sim_tfidf_lexical_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS n_docs FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_total FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(ROUND((CAST(cnt AS DOUBLE) / doc_len)
+                        * ln(CAST(n_total AS DOUBLE) / n_docs) * 1000000, 0) AS BIGINT)
+               AS w6
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN n),
+    nrm AS (SELECT doc_id, SQRT(CAST(SUM(w6 * w6) AS DOUBLE)) AS nv FROM w GROUP BY 1),
+    dot AS (
+      SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id, SUM(q.w6 * d.w6) AS dp
+      FROM w q JOIN w d ON q.token = d.token AND q.doc_id <> d.doc_id
+      WHERE q.doc_id < {_LEX_QUERIES}
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(CAST(dp AS DOUBLE) / (qn.nv * dn.nv), 4) AS cos_sim
+      FROM dot
+        JOIN nrm qn ON qn.doc_id = query_id
+        JOIN nrm dn ON dn.doc_id = neighbor_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_LEX_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_sim_tfidf_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: TF-IDF cosine top-k documents for each of 10
+    query documents, computed as a sparse inverted-index join — the
+    MapReduce-classic document-similarity pattern (pairs meet ONLY on
+    shared tokens; no dense vectors, no cross join).
+
+    Determinism: TF-IDF weights are rounded to scaled integers
+    (round(tfidf*1e6)) before any pair math, so the dot product is an
+    exact BIGINT sum on both engines (31-token vocabulary x (4.6e6)^2
+    per term is far under int64); norms are sqrt of exact integer
+    sums, so cos_sim divides bit-identical doubles.
+
+    Scale shape: the token join's fan-out is sum over tokens of
+    n_t x q_t with the query side fixed — linear in corpus size. At
+    real vocabulary scale the standard df-cap prunes stopword-grade
+    tokens before the join; the fixture's 31-token synthetic
+    vocabulary makes every token stopword-grade, so a cap would empty
+    the index and is deliberately not applied here (documented rather
+    than vacuously parameterized)."""
+    tf = _tf_table(spark, sf_dir)
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("n_docs"))
+    n = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_total"))
+    w6 = F.round(
+        (F.col("cnt").cast("double") / F.col("doc_len"))
+        * F.log(F.col("n_total").cast("double") / F.col("n_docs"))
+        * 1000000
+    ).cast("long")
+    w = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", w6.alias("w6"))
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w6") * F.col("w6")).cast("double")).alias("nv")
+    )
+    q = w.filter(F.col("doc_id") < _LEX_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token", F.col("w6").alias("qw6")
+    )
+    dot = (
+        w.join(F.broadcast(q), (w.token == q.token) & (w.doc_id != q.query_id))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qw6") * F.col("w6")).alias("dp"))
+    )
+    # Query-side norms filter to the 10 query docs (broadcastable at
+    # any corpus size); the neighbor-side norm table is corpus-sized,
+    # so that join must stay a shuffle equi-join — no broadcast hint.
+    qn = nrm.filter(F.col("doc_id") < _LEX_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("nv").alias("qnv")
+    )
+    dn = nrm.select(F.col("doc_id").alias("neighbor_id"), F.col("nv").alias("dnv"))
+    from pyspark.sql import Window as _W
+
+    scored = (
+        dot.join(F.broadcast(qn), "query_id")
+        .join(dn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dp").cast("double") / (F.col("qnv") * F.col("dnv")), 4)
+            .alias("cos_sim"),
+        )
+    )
+    rk = _W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= _LEX_TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
