@@ -217,6 +217,12 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "q2_min_cost_supplier",
         "q20_excess_share_suppliers",
         "q_sim_mmr_rerank",
+        # Round-4 late additions: the lexical top-k ranks cosine ties
+        # by neighbor_id inside a window — the tie-break (not shuffle
+        # order) must decide rank; the confusion matrix is a plain agg
+        # but its CASE tie-chain (en >= de >= es) must be row-local.
+        "q_sim_tfidf_lexical_topk",
+        "q_text_langid_confusion",
     ):
         assert run(name, 3) == run(name, 17), name
 
