@@ -871,3 +871,74 @@ def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_response.cast("long").alias("n_response_tokens"),
         ((n_prompt + n_response) <= 64).alias("fits_budget"),
     )
+
+
+@query(
+    "q_sample_topp_mass",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before,
+             SUM(n_chars) OVER (PARTITION BY source) AS total_mass
+      FROM documents
+    ), kept AS (
+      SELECT * FROM ranked WHERE 2 * cum_before < total_mass
+    )
+    SELECT k.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MAX(n.n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(k.n_chars) AS BIGINT) AS mass_kept,
+           CAST(MAX(k.total_mass) AS BIGINT) AS mass_total,
+           CAST(ROUND(CAST(SUM(k.n_chars) AS DOUBLE) / MAX(k.total_mass), 6)
+                AS DOUBLE) AS coverage
+    FROM kept k
+      JOIN (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1) n
+        USING (source)
+    GROUP BY k.source
+    """,
+)
+def q_sample_topp_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style top-p curation: per source, keep the smallest set
+    of longest documents whose cumulative character mass reaches p=50%
+    of the source's total — the "head of the mass" selection used to
+    skim the densest documents from each domain under a token budget
+    (the mass-based dual of q_domain_caps' count-based cap).
+
+    Determinism: mass is the exact BIGINT n_chars column; the nucleus
+    condition 2*cum_before < total is pure integer arithmetic (the
+    p=0.5 threshold multiplied through — no float division anywhere in
+    the selection), and the (n_chars DESC, doc_id) ordering totalizes
+    ties, so membership is bit-identical on any engine or partitioning.
+    Only the reported coverage ratio divides, after rounding.
+
+    Scale shape: one cumulative-sum window per source partition (sort
+    within group) plus its total — both carried by the same shuffle on
+    source; the aggregate report is |sources| rows. Skewed sources
+    sort within their own partition; no global sort, no collect."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wcum = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.sum("n_chars").over(wcum) - F.col("n_chars")).alias("cum_before"),
+        F.sum("n_chars").over(wall).alias("total_mass"),
+        F.count("*").over(wall).alias("n_docs"),
+    )
+    kept = ranked.filter(2 * F.col("cum_before") < F.col("total_mass"))
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("mass_kept"),
+        F.max("total_mass").cast("long").alias("mass_total"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.max("total_mass"), 6
+        ).alias("coverage"),
+    )

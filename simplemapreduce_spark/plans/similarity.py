@@ -1461,3 +1461,159 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = sel.unionByName(pick)
         chosen = sel.select("query_id", "cand_id")
     return sel.orderBy("query_id", "step")
+
+
+@query(
+    "q_sim_ndcg_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             {{bucket}} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v
+          WHERE vec_id < {{nq}}),
+    gt AS (
+      SELECT query_id, neighbor_id, rank AS grank FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY ROUND(list_cosine_similarity(q.qe, v.e), 4) DESC,
+                           v.vec_id) AS rank
+        FROM q JOIN v ON v.vec_id <> q.query_id
+      ) WHERE rank <= 3
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id, rank AS pos FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY ROUND(list_cosine_similarity(q.qe, v.e), 4) DESC,
+                           v.vec_id) AS rank
+        FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> q.query_id
+      ) WHERE rank <= 3
+    ),
+    terms AS (
+      SELECT a.query_id, a.pos, gt.grank,
+             CASE WHEN gt.grank IS NOT NULL THEN
+               CAST(ROUND((4 - gt.grank) / log2(CAST(a.pos + 1 AS DOUBLE))
+                          * 100000000, 0) AS BIGINT)
+             ELSE 0 END AS dcg8
+      FROM approx a LEFT JOIN gt
+        ON gt.query_id = a.query_id AND gt.neighbor_id = a.neighbor_id
+    ),
+    idcg AS (
+      SELECT query_id,
+             SUM(CAST(ROUND((4 - grank) / log2(CAST(grank + 1 AS DOUBLE))
+                            * 100000000, 0) AS BIGINT)) AS idcg8
+      FROM gt GROUP BY 1
+    )
+    SELECT t.query_id,
+           CAST(COUNT(t.grank) AS BIGINT) AS n_hits,
+           CAST(ROUND(CAST(SUM(t.dcg8) AS DOUBLE) / MAX(i.idcg8), 6) AS DOUBLE)
+             AS ndcg_at_3,
+           CAST(COALESCE(ROUND(1.0 / MIN(CASE WHEN t.grank IS NOT NULL
+                                              THEN t.pos END), 6), 0.0) AS DOUBLE)
+             AS mrr
+    FROM terms t JOIN idcg i USING (query_id)
+    GROUP BY t.query_id
+    """.format(bucket=_sign_bucket_sql(), nq=N_QUERIES * 4),
+)
+def q_sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the bit-sampling LSH retriever:
+    nDCG@3 and MRR against exact brute-force ground truth, per query —
+    the graded companion to q_sim_lsh_recall_eval (recall counts hits;
+    nDCG penalizes the approximate index for returning the right
+    neighbors in the wrong ORDER, MRR for burying the first relevant
+    one). Relevance is graded by ground-truth rank (3, 2, 1).
+
+    Determinism recipe: each DCG term (4 - gt_rank) / log2(pos + 1) is
+    rounded to a scaled BIGINT (1e8 units) BEFORE summation, so the
+    3-term per-query sums are exact integers on both engines and the
+    final nDCG is one identical double division; MRR divides 1.0 by an
+    exact integer position. This sidesteps float sum-order drift, the
+    same discipline as q_sim_tfidf_lexical_topk's integer dot products.
+
+    Scale shape: identical to the recall eval — the exact pass
+    broadcasts the sampled query set over one corpus scan (the audit
+    cost you pay on a sample precisely because it is exact); the LSH
+    side is the bucket equi-join; everything after operates on
+    |queries| x 3 rows."""
+    raw = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    v = raw.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        _sign_bucket_col().alias("bucket"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES * 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+
+    def top3(scored: DataFrame, rank_name: str) -> DataFrame:
+        return (
+            scored.withColumn(rank_name, F.row_number().over(w))
+            .filter(F.col(rank_name) <= 3)
+            .select("query_id", "neighbor_id", rank_name)
+        )
+
+    sim = F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim")
+    gt = top3(
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim
+        ),
+        "grank",
+    )
+    approx = top3(
+        v.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select("query_id", F.col("vec_id").alias("neighbor_id"), sim),
+        "pos",
+    )
+
+    def dcg8(rel_rank: F.Column, pos: F.Column) -> F.Column:
+        return F.round(
+            (4 - rel_rank) / F.log2((pos + 1).cast("double")) * 100000000, 0
+        ).cast("long")
+
+    terms = approx.join(
+        gt.select(
+            F.col("query_id").alias("g_query"),
+            F.col("neighbor_id").alias("g_neighbor"),
+            "grank",
+        ),
+        (F.col("query_id") == F.col("g_query"))
+        & (F.col("neighbor_id") == F.col("g_neighbor")),
+        "left",
+    ).select(
+        "query_id",
+        "pos",
+        "grank",
+        F.when(F.col("grank").isNotNull(), dcg8(F.col("grank"), F.col("pos")))
+        .otherwise(F.lit(0))
+        .alias("dcg8"),
+    )
+    idcg = gt.groupBy("query_id").agg(
+        F.sum(dcg8(F.col("grank"), F.col("grank"))).alias("idcg8")
+    )
+    return (
+        terms.groupBy("query_id")
+        .agg(
+            F.count("grank").cast("long").alias("n_hits"),
+            F.sum("dcg8").alias("sum_dcg8"),
+            F.min(F.when(F.col("grank").isNotNull(), F.col("pos"))).alias("first_hit"),
+        )
+        .join(F.broadcast(idcg), "query_id")
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("sum_dcg8").cast("double") / F.col("idcg8"), 6).alias(
+                "ndcg_at_3"
+            ),
+            F.coalesce(F.round(F.lit(1.0) / F.col("first_hit"), 6), F.lit(0.0)).alias(
+                "mrr"
+            ),
+        )
+    )

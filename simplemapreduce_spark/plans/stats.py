@@ -986,3 +986,117 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").cast("long").alias("n_events"),
         F.round(var / mean, 6).alias("fano_factor"),
     )
+
+
+@query(
+    "q_rank_corr_spearman",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag, l_quantity AS q,
+             l_extendedprice AS p,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY q)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, q) - 1 AS rq,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY p)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, p) - 1 AS rp,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY rev)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, rev) - 1 AS rr
+      FROM base
+    ), s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(rq) AS sq, SUM(rp) AS sp, SUM(rr) AS sr,
+             SUM(rq * rq) AS sqq, SUM(rp * rp) AS spp, SUM(rr * rr) AS srr,
+             SUM(rp * rr) AS spr, SUM(rq * rr) AS sqr
+      FROM r GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(ROUND(
+             (CAST(n AS DOUBLE) * CAST(spr AS DOUBLE)
+              - CAST(sp AS DOUBLE) * CAST(sr AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                     - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                     - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))), 6) AS DOUBLE)
+             AS rho_price_revenue,
+           CAST(ROUND(
+             (CAST(n AS DOUBLE) * CAST(sqr AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sr AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                     - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))), 6) AS DOUBLE)
+             AS rho_qty_revenue
+    FROM s
+    """,
+)
+def q_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per return flag, with textbook tie
+    handling (each value gets the AVERAGE of the row ranks it spans).
+    Rank correlation is the robust monotonic-association check feature
+    pipelines run where Pearson (q_agg_regression's r2) is distorted
+    by outliers. Two panels keep the query non-vacuous on the
+    independent-column fixture: price vs net revenue
+    (price*(1-discount)) is strongly monotone BY CONSTRUCTION (~0.95 —
+    a rank-handling bug would visibly shift it), while quantity vs
+    revenue is a near-zero control whose integer quantities hammer the
+    tie-averaging path (ties span thousands of rows per value).
+
+    Determinism recipe: average ranks are half-integers, so the plan
+    carries DOUBLED ranks (2*rank + ties - 1 — exact integers) and
+    feeds exact integer moment sums into one shared double formula,
+    identical text on both engines (correlation's scale invariance
+    absorbs the doubling). Sums accumulate in decimal(28,0): rank^2
+    products reach ~1.6e13 at sf1 and their int64 sums would overflow
+    around 1e19 (DuckDB's HUGEINT sums are exact natively).
+
+    Scale shape: three sort-based rank windows partitioned by the
+    group key (the unavoidable cost of exact ranks — same shape as the
+    q_window_* siblings, one shuffle on l_returnflag shared by all
+    three via a single window exchange), then one partial/final hash
+    agg of constant-size state per group. No holistic pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+
+    def r2(col: str):
+        rk = F.rank().over(W.partitionBy("l_returnflag").orderBy(col))
+        ties = F.count("*").over(W.partitionBy("l_returnflag", col))
+        return (2 * rk + ties - 1).cast("decimal(28,0)")
+
+    r = base.select(
+        "l_returnflag", r2("q").alias("rq"), r2("p").alias("rp"), r2("rev").alias("rr")
+    )
+    s = r.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("rq").alias("sq"),
+        F.sum("rp").alias("sp"),
+        F.sum("rr").alias("sr"),
+        F.sum(F.col("rq") * F.col("rq")).alias("sqq"),
+        F.sum(F.col("rp") * F.col("rp")).alias("spp"),
+        F.sum(F.col("rr") * F.col("rr")).alias("srr"),
+        F.sum(F.col("rp") * F.col("rr")).alias("spr"),
+        F.sum(F.col("rq") * F.col("rr")).alias("sqr"),
+    )
+    n = F.col("n").cast("double")
+
+    def rho(sx, sy, sxx, syy, sxy):
+        dx, dy = (F.col(c).cast("double") for c in (sx, sy))
+        dxx, dyy, dxy = (F.col(c).cast("double") for c in (sxx, syy, sxy))
+        return F.round(
+            (n * dxy - dx * dy)
+            / F.sqrt((n * dxx - dx * dx) * (n * dyy - dy * dy)),
+            6,
+        )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        rho("sp", "sr", "spp", "srr", "spr").alias("rho_price_revenue"),
+        rho("sq", "sr", "sqq", "srr", "sqr").alias("rho_qty_revenue"),
+    )
