@@ -237,3 +237,58 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_shard_assignment.__doc__ = q_shard_assignment.__doc__.format(N=N_SHARDS)
+
+
+@query(
+    "q_split_kfold",
+    oracle="""
+    WITH f AS (
+      SELECT lang,
+             ((instr('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 5 AS fold,
+             doc_id
+      FROM documents
+    )
+    SELECT CAST(fold AS INTEGER) AS fold, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM f GROUP BY 1, 2
+    """,
+)
+def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with a
+    per-(fold, language) stratification audit — the fold id is a pure
+    function of the doc id (first md5 byte mod 5), so folds are stable
+    across reruns, engines, and partitioning, and every worker can
+    compute membership locally with zero shuffle (the same
+    content-hash discipline as q_split_train_test). The fold x lang
+    count matrix is what a pipeline owner checks before trusting the
+    folds for per-language eval.
+
+    The hex-digit positions are decoded with instr over a literal
+    alphabet — portable integer math identical on both engines (no
+    engine-specific hex-parse builtin). 256 % 5 leaves folds 0-1 a
+    ~4% hair larger than 2-4: documented bias of byte-mod folding,
+    irrelevant for CV.
+
+    Scale shape: map-side fold/lang projection, one hash agg to a
+    5 x |langs| result. No join, no window, no sort."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def digit(pos: int) -> F.Column:
+        return (
+            F.expr(
+                f"instr('0123456789abcdef', substr(md5(cast(doc_id as string)), {pos}, 1))"
+            )
+            - 1
+        )
+
+    fold = ((digit(1) * 16 + digit(2)) % 5).cast("int")
+    return d.groupBy(fold.alias("fold"), "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )

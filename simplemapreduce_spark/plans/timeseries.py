@@ -1062,3 +1062,102 @@ def q_ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("cum_after") == F.col("delta")) & (F.col("delta") == 1)).cast("int")
         ).cast("long").alias("n_merged_spans"),
     )
+
+
+@query(
+    "q_ts_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(date_trunc('day', l_shipdate)) / 86400) AS BIGINT)
+               AS day,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                      AS BIGINT)) AS u
+      FROM lineitem GROUP BY 1
+    ), d AS (
+      SELECT day, CAST(FLOOR((u + 5000) / 10000) AS BIGINT) AS x FROM daily
+    ), pairs AS (
+      SELECT l.lag, a.x AS x, b.x AS y
+      FROM (VALUES (1), (2), (3)) l(lag)
+      CROSS JOIN d a
+      JOIN d b ON b.day = a.day + l.lag
+    ), s AS (
+      SELECT lag, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS DOUBLE)
+             AS acf
+    FROM s
+    """,
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of the daily net-revenue series — the
+    seasonality/persistence screen a forecasting pipeline runs before
+    choosing a model (complements q_ts_trend_forecast's fitted trend
+    and q_events_burstiness' dispersion). ACF here is the Pearson
+    correlation over true CALENDAR-lag pairs (join on day+L, not row
+    offset), so date gaps never misalign the series.
+
+    Determinism recipe: revenue is exact 4-dp fixed-point
+    (round(price*(1-disc)*1e4) — the _rcents discipline), daily totals
+    re-round to whole dollars with pure integer arithmetic, and the
+    per-lag correlation runs the same exact-integer-moments -> one
+    shared double formula pipeline as q_rank_corr_spearman. Moment
+    products are accumulated in 128-bit-capable types (decimal(38,0) /
+    HUGEINT): daily-dollar squares pass 5e19 at extreme scale, beyond
+    int64.
+
+    Scale shape: one partial/final hash agg to the calendar grain
+    (|days| rows — bounded by time, not data volume), then the lag
+    join and moment agg run on that tiny table (broadcast); the
+    corpus-sized scan happens exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.floor(
+        epoch_micros(F.date_trunc("day", "l_shipdate")) / F.lit(86_400_000_000)
+    ).cast("long")
+    units = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    d = (
+        li.groupBy(day.alias("day"))
+        .agg(F.sum(units).alias("u"))
+        .select("day", F.floor((F.col("u") + 5000) / 10000).cast("long").alias("x"))
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("b.day") == F.col("a.day") + F.col("lag"),
+        )
+        .select("lag", F.col("a.x").alias("x"), F.col("b.x").alias("y"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")
+    s = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    acf = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select(
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(acf, 6).alias("acf"),
+    )

@@ -884,3 +884,100 @@ def q_stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.col("c_ts").alias("click_ts"),
     )
+
+
+@query(
+    "q_stream_stream_full_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+      ) - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+      SELECT c.user_id,
+             c.event_id AS click_id, p.event_id AS purchase_id,
+             date_diff('second', c.ts, p.ts) AS secs_to_purchase
+      FROM events c JOIN events p
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, click_id, purchase_id, secs_to_purchase FROM matched
+    UNION ALL
+    SELECT c.user_id, c.event_id, NULL, NULL
+    FROM events c, wm
+    WHERE c.event_type = 'click'
+      AND c.ts + INTERVAL 30 MINUTE < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+    UNION ALL
+    SELECT p.user_id, NULL, p.event_id, NULL
+    FROM events p, wm
+    WHERE p.event_type = 'purchase'
+      AND p.ts < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      )
+    """,
+)
+def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join, completing the stream-join
+    family (inner / left-outer / semi siblings above): click-purchase
+    pairs within 30 minutes, plus null-extended rows for BOTH
+    never-matched sides, each emitted only when the watermark proves
+    no counterpart can still arrive. The eviction horizons are
+    asymmetric, which is the instructive part: an unmatched click
+    waits until the watermark passes click_ts + 30min (its last
+    possible partner timestamp), while an unmatched purchase waits
+    only until the watermark passes purchase_ts (its partners precede
+    it) — the oracle encodes exactly those two horizons against the
+    final global watermark, least(max click ts, max purchase ts) - 1h;
+    unmatched rows in the trailing windows are correctly ABSENT (still
+    pending when the finite replay drains). Fixture timestamps are
+    whole seconds, so millisecond watermark truncation cannot flip a
+    boundary row.
+
+    Scale shape: same keyed-state symmetric hash join as the inner
+    variant — state on both sides bounded by the watermark and the
+    30-minute interval condition; full-outer adds only the
+    eviction-time null emission on each side."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    )
+    out = run_stream_to_table(joined, "append")
+    return out.select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_to_purchase"),
+    )
