@@ -222,3 +222,29 @@ def test_bloom_filter_fpr_within_theoretical_bound(spark, sf_dir):
     fpr = row["n_false_pos"] / n_non_members
     # 5x slack: the binomial noise floor at a few hundred probes.
     assert fpr <= 5 * bound + 0.01, (fpr, bound)
+
+
+def test_ndcg_bounds_and_recall_consistency(spark, sf_dir):
+    """q_sim_ndcg_eval invariants: ndcg and mrr live in [0, 1], and its
+    per-query hit count equals q_sim_lsh_recall_eval's n_found — both
+    measure |approx top-3 ∩ exact top-3| for the SAME retriever and
+    query set, from opposite directions (ndcg walks the approx list,
+    recall walks the ground-truth list), so a divergence means one of
+    the two top-k constructions drifted."""
+    ndcg = {
+        r["query_id"]: r
+        for r in catalog.QUERIES["q_sim_ndcg_eval"](spark, sf_dir).collect()
+    }
+    recall = {
+        r["query_id"]: r
+        for r in catalog.QUERIES["q_sim_lsh_recall_eval"](spark, sf_dir).collect()
+    }
+    assert set(ndcg) == set(recall)
+    for qid, r in ndcg.items():
+        assert 0.0 <= r["ndcg_at_3"] <= 1.0, (qid, r)
+        assert 0.0 <= r["mrr"] <= 1.0, (qid, r)
+        assert (r["n_hits"] > 0) == (r["mrr"] > 0), (qid, r)
+        assert r["n_hits"] == recall[qid]["n_found"], (qid, r, recall[qid])
+    # The graded metric must not exceed 1 even for a perfect retriever,
+    # and at least one fixture query should score > 0 (non-vacuity).
+    assert any(r["n_hits"] > 0 for r in ndcg.values())
