@@ -1121,6 +1121,8 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|days| rows — bounded by time, not data volume), then the lag
     join and moment agg run on that tiny table (broadcast); the
     corpus-sized scan happens exactly once."""
+    from simplemapreduce_spark.cache import memo_persist, table_stamp
+
     li = load_table(spark, sf_dir, "lineitem")
     day = F.floor(
         epoch_micros(F.date_trunc("day", "l_shipdate")) / F.lit(86_400_000_000)
@@ -1128,10 +1130,17 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     units = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
         "long"
     )
-    d = (
+    # Memo-persist the daily rollup: it feeds BOTH sides of the lag
+    # self-join, and without the persist Spark recomputes the subtree —
+    # i.e. scans the corpus twice — on each side. Persisted, the
+    # corpus-sized scan happens exactly once and the join runs on the
+    # |days|-row table.
+    d = memo_persist(
         li.groupBy(day.alias("day"))
         .agg(F.sum(units).alias("u"))
-        .select("day", F.floor((F.col("u") + 5000) / 10000).cast("long").alias("x"))
+        .select("day", F.floor((F.col("u") + 5000) / 10000).cast("long").alias("x")),
+        f"ts_autocorr_daily:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
     )
     lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
     a, b = d.alias("a"), d.alias("b")
