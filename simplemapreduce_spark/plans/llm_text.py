@@ -1152,3 +1152,75 @@ def q_sim_tfidf_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "q_text_ngram_novelty",
+    oracle=f"""
+    WITH base AS (
+      SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_train,
+             {_SQL_TOKENS} AS t
+      FROM documents
+    ), g0 AS (
+      SELECT is_train,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+      FROM base WHERE len(t) >= 3
+    ), g AS (SELECT DISTINCT is_train, gram FROM g0),
+    tr AS (SELECT gram FROM g WHERE is_train),
+    te AS (SELECT gram FROM g WHERE NOT is_train),
+    nv AS (SELECT gram FROM te WHERE gram NOT IN (SELECT gram FROM tr))
+    SELECT (SELECT COUNT(*) FROM tr) AS n_train_grams,
+           (SELECT COUNT(*) FROM te) AS n_test_grams,
+           (SELECT COUNT(*) FROM nv) AS n_novel,
+           CAST(ROUND(CAST((SELECT COUNT(*) FROM nv) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM te), 6) AS DOUBLE) AS novelty_rate
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram novelty: the fraction of the test split's
+    distinct trigrams never seen in the train split — the
+    memorization/generalization screen run alongside decontamination
+    (q_decontaminate_ngram asks "is eval text IN the corpus"; this
+    asks "how much of held-out text is genuinely new"). Splits use the
+    deterministic md5(doc_id) convention of plans/sampling.py.
+
+    Scale shape: one corpus scan explodes trigrams into a distinct
+    (split, gram) table (vocabulary-bounded, memo-persisted because
+    the train/test branches both read it); novelty is a left-anti
+    equi-join between the two gram sets, and the report is three
+    scalar counts cross-joined — all exact integers, one rounded
+    division."""
+    from simplemapreduce_spark.cache import memo_persist, table_stamp
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    base = d.select(is_train.alias("is_train"), toks.alias("t")).filter(
+        F.size("t") >= 3
+    )
+    tri = F.expr(
+        "transform(sequence(1, size(t) - 2), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
+    )
+    g = memo_persist(
+        base.select("is_train", F.explode(tri).alias("gram")).distinct(),
+        f"text_ngram_novelty_grams:{sf_dir}",
+        table_stamp(sf_dir, "documents"),
+    )
+    tr = g.filter(F.col("is_train")).select("gram")
+    te = g.filter(~F.col("is_train")).select("gram")
+    nv = te.join(tr, "gram", "left_anti")
+    return (
+        tr.agg(F.count("*").cast("long").alias("n_train_grams"))
+        .crossJoin(te.agg(F.count("*").cast("long").alias("n_test_grams")))
+        .crossJoin(nv.agg(F.count("*").cast("long").alias("n_novel")))
+        .select(
+            "n_train_grams",
+            "n_test_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_test_grams"), 6
+            ).alias("novelty_rate"),
+        )
+    )

@@ -1064,10 +1064,12 @@ def q_ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_ts_autocorr",
-    oracle="""
-    WITH daily AS (
+# Shared DuckDB CTE for the daily net-revenue series in whole dollars —
+# exact 4-dp fixed-point line revenue, daily totals re-rounded to
+# dollars with pure integer arithmetic (consumed by q_ts_autocorr and
+# q_ts_ewma; the Spark twin is _daily_revenue_dollars).
+_DAILY_SQL = """
+    daily AS (
       SELECT CAST(floor(epoch(date_trunc('day', l_shipdate)) / 86400) AS BIGINT)
                AS day,
              SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
@@ -1075,7 +1077,40 @@ def q_ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     ), d AS (
       SELECT day, CAST(FLOOR((u + 5000) / 10000) AS BIGINT) AS x FROM daily
-    ), pairs AS (
+    )
+"""
+
+
+def _daily_revenue_dollars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memo-persisted (day, x) daily net-revenue table in whole dollars.
+
+    Persisted because consumers branch over it (the autocorr lag
+    self-join reads it on both sides; EWMA reuses the same rollup) —
+    without the persist Spark recomputes the subtree, i.e. scans the
+    corpus once per branch. The table itself is calendar-bounded
+    (|days| rows), so everything downstream of the persist is tiny."""
+    from simplemapreduce_spark.cache import memo_persist, table_stamp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.floor(
+        epoch_micros(F.date_trunc("day", "l_shipdate")) / F.lit(86_400_000_000)
+    ).cast("long")
+    units = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    return memo_persist(
+        li.groupBy(day.alias("day"))
+        .agg(F.sum(units).alias("u"))
+        .select("day", F.floor((F.col("u") + 5000) / 10000).cast("long").alias("x")),
+        f"ts_daily_revenue:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "q_ts_autocorr",
+    oracle=f"""
+    WITH {_DAILY_SQL}, pairs AS (
       SELECT l.lag, a.x AS x, b.x AS y
       FROM (VALUES (1), (2), (3)) l(lag)
       CROSS JOIN d a
@@ -1121,27 +1156,7 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|days| rows — bounded by time, not data volume), then the lag
     join and moment agg run on that tiny table (broadcast); the
     corpus-sized scan happens exactly once."""
-    from simplemapreduce_spark.cache import memo_persist, table_stamp
-
-    li = load_table(spark, sf_dir, "lineitem")
-    day = F.floor(
-        epoch_micros(F.date_trunc("day", "l_shipdate")) / F.lit(86_400_000_000)
-    ).cast("long")
-    units = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
-        "long"
-    )
-    # Memo-persist the daily rollup: it feeds BOTH sides of the lag
-    # self-join, and without the persist Spark recomputes the subtree —
-    # i.e. scans the corpus twice — on each side. Persisted, the
-    # corpus-sized scan happens exactly once and the join runs on the
-    # |days|-row table.
-    d = memo_persist(
-        li.groupBy(day.alias("day"))
-        .agg(F.sum(units).alias("u"))
-        .select("day", F.floor((F.col("u") + 5000) / 10000).cast("long").alias("x")),
-        f"ts_autocorr_daily:{sf_dir}",
-        table_stamp(sf_dir, "lineitem"),
-    )
+    d = _daily_revenue_dollars(spark, sf_dir)
     lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
     a, b = d.alias("a"), d.alias("b")
     pairs = (
@@ -1169,4 +1184,72 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag",
         F.col("n").cast("long").alias("n_pairs"),
         F.round(acf, 6).alias("acf"),
+    )
+
+
+# Integer EWMA weights: alpha = 0.8 over the last 10 observations.
+# alpha^i scaled by 5^9 gives w_i = 4^i * 5^(9-i) — EXACT integers, so
+# the weighted numerator/denominator are exact integer sums on both
+# engines and the smoothed value is one identical double division.
+_EWMA_W = [4**i * 5 ** (9 - i) for i in range(10)]
+_EWMA_NUM_SQL = " + ".join(
+    f"COALESCE(LAG(x, {i}) OVER w * {wt}, 0)" for i, wt in enumerate(_EWMA_W)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"CASE WHEN LAG(x, {i}) OVER w IS NOT NULL THEN {wt} ELSE 0 END"
+    for i, wt in enumerate(_EWMA_W)
+)
+
+
+@query(
+    "q_ts_ewma",
+    oracle=f"""
+    WITH {_DAILY_SQL}, e AS (
+      SELECT day, x, ({_EWMA_NUM_SQL}) AS num, ({_EWMA_DEN_SQL}) AS den
+      FROM d WINDOW w AS (ORDER BY day)
+    )
+    SELECT day, x,
+           CAST(ROUND(CAST(num AS DOUBLE) / den, 6) AS DOUBLE) AS ewma
+    FROM e
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.8, 10-tap) of the
+    daily net-revenue series — the classic smoothing companion to
+    q_ts_autocorr's persistence check and q_ts_trend_forecast's OLS
+    line. The leading edge renormalizes over the available taps (a
+    partial-window EWMA, not a NULL ramp-in).
+
+    Determinism recipe: alpha^i over 10 taps scales to EXACT integer
+    weights (4^i * 5^(9-i)), so numerator and denominator are exact
+    integer window sums and the smoothed value is a single identical
+    double division on both engines — no float power, no recursive
+    state. int64 headroom: max weight 5^9~2e6 x 10 taps leaves ~4.6e11
+    daily dollars before the numerator could wrap.
+
+    Scale shape: consumes the memo-persisted calendar-bounded daily
+    table (corpus scanned once, shared with q_ts_autocorr); the
+    10-lag window then runs over |days| rows. The ORDER BY day window
+    is globally ordered — fine ONLY because the input is
+    calendar-bounded; per-entity series would partition by key."""
+    d = _daily_revenue_dollars(spark, sf_dir)
+    w = W.orderBy("day")
+    num = sum(
+        (
+            F.coalesce(F.lag("x", i).over(w) * F.lit(wt), F.lit(0))
+            for i, wt in enumerate(_EWMA_W)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("x", i).over(w).isNotNull(), F.lit(wt)).otherwise(0)
+            for i, wt in enumerate(_EWMA_W)
+        ),
+        start=F.lit(0),
+    )
+    return d.select(
+        "day",
+        "x",
+        F.round(num.cast("double") / den, 6).alias("ewma"),
     )
