@@ -1617,3 +1617,74 @@ def q_sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_sim_bucket_purity",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, {{bucket}} AS bucket FROM embeddings
+    ), bl AS (
+      SELECT bucket, label, COUNT(*) AS n FROM v GROUP BY 1, 2
+    ), tot AS (
+      SELECT bucket, SUM(n) AS n_vectors FROM bl GROUP BY 1
+    ), top AS (
+      SELECT bucket, label AS majority_label, n AS n_majority FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                                     ORDER BY n DESC, label) AS rk
+        FROM bl
+      ) WHERE rk = 1
+    )
+    SELECT t.bucket, CAST(tot.n_vectors AS BIGINT) AS n_vectors,
+           CAST(t.majority_label AS INTEGER) AS majority_label,
+           CAST(t.n_majority AS BIGINT) AS n_majority,
+           CAST(ROUND(CAST(t.n_majority AS DOUBLE) / tot.n_vectors, 6) AS DOUBLE)
+             AS purity
+    FROM top t JOIN tot USING (bucket)
+    WHERE tot.n_vectors >= 2
+    """.format(bucket=_sign_bucket_sql()),
+)
+def q_sim_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the sign-bit LSH buckets — the clustering-eval
+    view of the ANN index: per bucket (size >= 2), the majority label's
+    share. High purity means the hash geometry respects the label
+    structure (buckets behave like clusters); low purity warns that
+    bucket-restricted search will mix classes. Complements the
+    rank-based evals (q_sim_lsh_recall_eval / q_sim_ndcg_eval) with a
+    label-based one — no ground-truth scan needed, which is why purity
+    is the eval you can afford on the FULL corpus at 100 TB.
+
+    Determinism: counts are exact integers, the majority tie breaks
+    (count DESC, label ASC) in both engines, purity is one rounded
+    division. Scale shape: one hash agg to (bucket, label) — bounded
+    by |buckets| x |labels|, not corpus size — then window-argmax over
+    that tiny table. The corpus is scanned once, projected to two
+    columns plus the row-local bucket expression."""
+    v = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", _sign_bucket_col().alias("bucket")
+    )
+    bl = v.groupBy("bucket", "label").agg(F.count("*").alias("n"))
+    tot = bl.groupBy("bucket").agg(F.sum("n").alias("n_vectors"))
+    rk = W.partitionBy("bucket").orderBy(F.col("n").desc(), "label")
+    top = (
+        bl.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "bucket",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    return (
+        top.join(tot, "bucket")
+        .filter(F.col("n_vectors") >= 2)
+        .select(
+            "bucket",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("majority_label").cast("int").alias("majority_label"),
+            F.col("n_majority").cast("long").alias("n_majority"),
+            F.round(
+                F.col("n_majority").cast("double") / F.col("n_vectors"), 6
+            ).alias("purity"),
+        )
+    )
