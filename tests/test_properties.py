@@ -223,6 +223,15 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         # but its CASE tie-chain (en >= de >= es) must be row-local.
         "q_sim_tfidf_lexical_topk",
         "q_text_langid_confusion",
+        # Round-4 final batch: the novelty anti-join and cross-source
+        # self-join both hinge on distinct tables built under shuffle;
+        # bucket purity's majority argmax must break count ties by
+        # label, not arrival order; the autocorr lag join must pair
+        # identical daily totals regardless of partial-agg fan-in.
+        "q_text_ngram_novelty",
+        "q_dedup_cross_source_matrix",
+        "q_sim_bucket_purity",
+        "q_ts_autocorr",
     ):
         assert run(name, 3) == run(name, 17), name
 

@@ -45,13 +45,21 @@ SHIFT = {
 }
 COPY = ["region", "nation", "supplier", "part"]
 
-# The 5 most expensive steady-state queries per BENCH_r03 plan audit.
+# The 5 most expensive steady-state queries per BENCH_r03 plan audit,
+# plus round-4 representatives of the extended bench families (BM25
+# lexical scoring, sketch-then-verify heavy hitters, hard-negative
+# mining, curation funnel) so the scale claim covers the post-r1
+# catalog, not just the legacy headline set.
 PROBE = [
     "q_dedup_minhash_lsh",
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "q3_shipping_priority",
     "q_window_moving_avg",
+    "q_text_bm25",
+    "q_heavy_hitters",
+    "q_sim_hard_negatives",
+    "q_pipeline_curation_funnel",
 ]
 
 
