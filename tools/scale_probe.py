@@ -11,7 +11,10 @@ where the numbers are recorded (candidate buckets get denser than an
 organic corpus; the MAX_BUCKET cap is exactly the mechanism that
 bounds that, so it is a fair stress).
 
-Usage: python tools/scale_probe.py [K]   (default K=10)
+Usage: python tools/scale_probe.py [K] [q_a,q_b,...]   (default K=10,
+all PROBE queries; the optional second arg restricts to a subset so a
+long probe can resume after an interruption — the replica dir is
+reused when it already exists)
 Prints one JSON line with per-query sf0.1 vs K-scaled timings and the
 observed scaling exponent log(t_K/t_1)/log(K).
 """
@@ -64,6 +67,9 @@ PROBE = [
 
 
 def build_scaled(spark) -> None:
+    if os.path.isdir(DST) and os.path.isfile(f"{DST}/.complete"):
+        print(f"reusing existing replica {DST}", file=sys.stderr)
+        return
     if os.path.isdir(DST):
         shutil.rmtree(DST)
     os.makedirs(DST)
@@ -84,6 +90,7 @@ def build_scaled(spark) -> None:
             out = out.unionByName(p)
         # one flat dir of parquet part files; load_table reads dirs too
         out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+    open(f"{DST}/.complete", "w").write("ok")
 
 
 def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
@@ -107,8 +114,11 @@ def main() -> None:
     build_scaled(spark)
     print(f"built in {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     results = {}
     for name in PROBE:
+        if only and name not in only:
+            continue
         fn = catalog.QUERIES[name]
         # warm both plans once, then best-of-3 each (JIT already tiered
         # by the warmups at the small SF)
