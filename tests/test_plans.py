@@ -503,3 +503,42 @@ def test_gaps_islands_window_partitioned_by_user(spark, sf_dir):
     # in the Window operator's projected columns would pass even with
     # partitionBy dropped (ADVICE r3).
     assert "windowspecdefinition(user_id" in plan
+
+
+def test_topp_mass_prunes_scan_and_shares_window_exchange(spark, sf_dir):
+    """q_sample_topp_mass: the documents scan must read only
+    (doc_id, source, n_chars) — never the text payload — and the
+    cumulative + total windows plus the final groupBy all share the
+    single hash-partitioning on source (one Exchange in the plan)."""
+    df = catalog.QUERIES["q_sample_topp_mass"](spark, sf_dir)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "text" not in read_schema, read_schema
+    assert "n_chars" in read_schema
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_kfold_is_single_aggregation_no_text_scan(spark, sf_dir):
+    """q_split_kfold: fold membership is row-local hash math, so the
+    whole plan is scan -> partial agg -> one Exchange -> final agg,
+    reading only (doc_id, lang)."""
+    df = catalog.QUERIES["q_split_kfold"](spark, sf_dir)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "text" not in read_schema, read_schema
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_ndcg_eval_broadcasts_query_side(spark, sf_dir):
+    """q_sim_ndcg_eval: both retrieval passes must broadcast the small
+    sampled query set over the corpus scan (BroadcastHashJoin /
+    BroadcastNestedLoopJoin), never shuffle the corpus against it."""
+    df = catalog.QUERIES["q_sim_ndcg_eval"](spark, sf_dir)
+    plan = _plan(df)
+    # Two corpus-vs-queries joins (exact + bucketed) plus the scalar
+    # metric joins — every one carries a broadcast of the query side.
+    # (The tiny gt/approx alignment joins may appear as SortMergeJoin
+    # in the static plan; AQE converts them at runtime — the contract
+    # here is that no CORPUS-sized side is ever shuffled against the
+    # query set, i.e. the broadcast exchanges exist.)
+    assert plan.count("BroadcastExchange") >= 2, plan
