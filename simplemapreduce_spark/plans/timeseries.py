@@ -1253,3 +1253,84 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.round(num.cast("double") / den, 6).alias("ewma"),
     )
+
+
+_ASOF_TOL_SECS = 3600  # 1-hour staleness bound
+
+
+@query(
+    "q_ts_asof_tolerance",
+    oracle=f"""
+    WITH merged AS (
+      SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS ckey, 1 AS kind
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, event_id AS ckey, 0 AS kind
+      FROM events WHERE event_type = 'click'
+    ), filled AS (
+      SELECT *,
+             LAST_VALUE(ckey IGNORE NULLS) OVER w AS ak,
+             LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w AS ats
+      FROM merged
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, kind, COALESCE(ckey, 0), COALESCE(event_id, 0)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN ak IS NOT NULL
+                 AND date_diff('second', ats, ts) <= {_ASOF_TOL_SECS}
+                THEN ak END AS asof_click_id,
+           CASE WHEN ak IS NOT NULL
+                 AND date_diff('second', ats, ts) <= {_ASOF_TOL_SECS}
+                THEN date_diff('second', ats, ts) END AS staleness_secs
+    FROM filled WHERE kind = 1
+    """,
+)
+def q_ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (merge_asof's tolerance
+    parameter, completing the as-of family: backward, forward,
+    nearest, and now bounded-staleness backward): each purchase gets
+    the user's most recent click, but only when that click is at most
+    1 hour old — an older one is masked to NULL rather than silently
+    joined, the semantics risk models need ("was there a RECENT
+    signal", not "was there ever a signal"). The fixture exercises all
+    three outcomes (no prior click / fresh / stale-masked).
+
+    Same single-shuffle union-merge as q_ts_asof_join — the tolerance
+    is a row-local mask AFTER the window fill (carrying the matched
+    timestamp through the same last_value), never a second join, so
+    the cost is identical to the unbounded as-of at any scale. Integer
+    second arithmetic on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("long").alias("ckey"), F.lit(1).alias("kind"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("ckey"), F.lit(0).alias("kind"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("ckey", F.lit(0)), F.coalesce("event_id", F.lit(0)))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = (
+        p.unionByName(c)
+        .withColumn("ak", F.last("ckey", ignorenulls=True).over(w))
+        .withColumn(
+            "ats",
+            F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("kind") == 1)
+    )
+    stale_secs = F.unix_timestamp("ts") - F.unix_timestamp("ats")
+    ok = F.col("ak").isNotNull() & (stale_secs <= _ASOF_TOL_SECS)
+    return filled.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(ok, F.col("ak")).alias("asof_click_id"),
+        F.when(ok, stale_secs).alias("staleness_secs"),
+    )
