@@ -327,3 +327,45 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+@query(
+    "q_graph_degree_histogram",
+    oracle="""
+    WITH deg AS (
+      SELECT l.l_suppkey AS suppkey,
+             COUNT(DISTINCT o.o_custkey) AS degree
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(MIN(suppkey) AS BIGINT) AS min_suppkey
+    FROM deg GROUP BY 1
+    """,
+)
+def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer-supplier trade graph: for
+    each supplier, its distinct-customer degree (how many customers it
+    reaches through order lines), then the histogram of those degrees
+    — the first diagnostic of any large graph (hub detection, skew
+    planning for the traversal queries: a heavy-tailed histogram is
+    what makes q_graph_pagerank's contribution joins skew and is
+    exactly what the salting/AQE machinery keys off).
+
+    Scale shape: fact-fact equi-join on the order key, then a
+    two-level aggregate — distinct (suppkey, custkey) pairs collapse
+    map-side before the per-supplier distinct count, and the histogram
+    is a second tiny agg on |suppliers| rows. All exact integers; no
+    window, no collect."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    deg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count_distinct("o_custkey").alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.min("suppkey").cast("long").alias("min_suppkey"),
+    )
