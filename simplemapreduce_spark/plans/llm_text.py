@@ -1191,8 +1191,6 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join between the two gram sets, and the report is three
     scalar counts cross-joined — all exact integers, one rounded
     division."""
-    from simplemapreduce_spark.cache import memo_persist, table_stamp
-
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"

@@ -1059,6 +1059,54 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_eval_top3(spark: SparkSession, sf_dir: str, gt_rank: str, approx_rank: str):
+    """Shared ground-truth / approximate top-3 construction for the LSH
+    retrieval evals (q_sim_lsh_recall_eval and q_sim_ndcg_eval): the
+    exact pass broadcasts the sampled query set (vec_id < 4*N_QUERIES)
+    over one corpus scan, the approximate pass is the sign-bucket
+    equi-join, and both rank by the deterministic (rounded-cosine DESC,
+    neighbor_id) contract. Extracted so the two evals' retrievers can
+    never drift apart — tests/test_quality_bounds.py asserts their hit
+    counts agree, which is only structural if they share this code."""
+    raw = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    v = raw.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        _sign_bucket_col().alias("bucket"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES * 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+
+    def top3(scored: DataFrame, rank_name: str) -> DataFrame:
+        return (
+            scored.withColumn(rank_name, F.row_number().over(w))
+            .filter(F.col(rank_name) <= 3)
+            .select("query_id", "neighbor_id", rank_name)
+        )
+
+    sim = F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim")
+    gt = top3(
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim
+        ),
+        gt_rank,
+    )
+    approx = top3(
+        v.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select("query_id", F.col("vec_id").alias("neighbor_id"), sim),
+        approx_rank,
+    )
+    return gt, approx
+
+
+
 @query(
     "q_sim_lsh_recall_eval",
     oracle=f"""
@@ -1111,39 +1159,9 @@ def q_sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact scan; the LSH side is the cheap path being audited. The
     deterministic (rounded-sim, id) ranking contract shared by all
     similarity queries makes top-k ties identical on both engines."""
-    raw = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    v = raw.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        _sign_bucket_col().alias("bucket"),
-    )
-    q = v.filter(F.col("vec_id") < N_QUERIES * 4).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qbucket")
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-
-    def topk(scored: DataFrame) -> DataFrame:
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3)
-            .select("query_id", "neighbor_id")
-        )
-
-    gt = topk(
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
-        )
-    )
-    approx = topk(
-        v.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
-        )
-    )
+    gt, approx = _lsh_eval_top3(spark, sf_dir, "rank", "rank")
+    gt = gt.select("query_id", "neighbor_id")
+    approx = approx.select("query_id", "neighbor_id")
     hit = F.col("a_neighbor").isNotNull().cast("int")
     return (
         gt.join(
@@ -1505,16 +1523,20 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(ROUND((4 - grank) / log2(CAST(grank + 1 AS DOUBLE))
                             * 100000000, 0) AS BIGINT)) AS idcg8
       FROM gt GROUP BY 1
+    ),
+    ta AS (
+      SELECT query_id,
+             COUNT(grank) AS n_hits,
+             SUM(dcg8) AS sum_dcg8,
+             MIN(CASE WHEN grank IS NOT NULL THEN pos END) AS first_hit
+      FROM terms GROUP BY 1
     )
-    SELECT t.query_id,
-           CAST(COUNT(t.grank) AS BIGINT) AS n_hits,
-           CAST(ROUND(CAST(SUM(t.dcg8) AS DOUBLE) / MAX(i.idcg8), 6) AS DOUBLE)
-             AS ndcg_at_3,
-           CAST(COALESCE(ROUND(1.0 / MIN(CASE WHEN t.grank IS NOT NULL
-                                              THEN t.pos END), 6), 0.0) AS DOUBLE)
-             AS mrr
-    FROM terms t JOIN idcg i USING (query_id)
-    GROUP BY t.query_id
+    SELECT i.query_id,
+           CAST(COALESCE(ta.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(ROUND(CAST(COALESCE(ta.sum_dcg8, 0) AS DOUBLE) / i.idcg8, 6)
+                AS DOUBLE) AS ndcg_at_3,
+           CAST(COALESCE(ROUND(1.0 / ta.first_hit, 6), 0.0) AS DOUBLE) AS mrr
+    FROM idcg i LEFT JOIN ta USING (query_id)
     """.format(bucket=_sign_bucket_sql(), nq=N_QUERIES * 4),
 )
 def q_sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1536,42 +1558,11 @@ def q_sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the sampled query set over one corpus scan (the audit
     cost you pay on a sample precisely because it is exact); the LSH
     side is the bucket equi-join; everything after operates on
-    |queries| x 3 rows."""
-    raw = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    v = raw.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        _sign_bucket_col().alias("bucket"),
-    )
-    q = v.filter(F.col("vec_id") < N_QUERIES * 4).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("bucket").alias("qbucket"),
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-
-    def top3(scored: DataFrame, rank_name: str) -> DataFrame:
-        return (
-            scored.withColumn(rank_name, F.row_number().over(w))
-            .filter(F.col(rank_name) <= 3)
-            .select("query_id", "neighbor_id", rank_name)
-        )
-
-    sim = F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim")
-    gt = top3(
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), sim
-        ),
-        "grank",
-    )
-    approx = top3(
-        v.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        ).select("query_id", F.col("vec_id").alias("neighbor_id"), sim),
-        "pos",
-    )
+    |queries| x 3 rows. A query whose bucket holds no other vector
+    still appears in the output with n_hits=0 / ndcg=0 / mrr=0 (the
+    report is anchored on the ground-truth side): "the retriever
+    returned nothing" is the worst score, not a missing row."""
+    gt, approx = _lsh_eval_top3(spark, sf_dir, "grank", "pos")
 
     def dcg8(rel_rank: F.Column, pos: F.Column) -> F.Column:
         return F.round(
@@ -1598,24 +1589,22 @@ def q_sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     idcg = gt.groupBy("query_id").agg(
         F.sum(dcg8(F.col("grank"), F.col("grank"))).alias("idcg8")
     )
-    return (
-        terms.groupBy("query_id")
-        .agg(
-            F.count("grank").cast("long").alias("n_hits"),
-            F.sum("dcg8").alias("sum_dcg8"),
-            F.min(F.when(F.col("grank").isNotNull(), F.col("pos"))).alias("first_hit"),
-        )
-        .join(F.broadcast(idcg), "query_id")
-        .select(
-            "query_id",
-            "n_hits",
-            F.round(F.col("sum_dcg8").cast("double") / F.col("idcg8"), 6).alias(
-                "ndcg_at_3"
-            ),
-            F.coalesce(F.round(F.lit(1.0) / F.col("first_hit"), 6), F.lit(0.0)).alias(
-                "mrr"
-            ),
-        )
+    ta = terms.groupBy("query_id").agg(
+        F.count("grank").cast("long").alias("n_hits"),
+        F.sum("dcg8").alias("sum_dcg8"),
+        F.min(F.when(F.col("grank").isNotNull(), F.col("pos"))).alias("first_hit"),
+    )
+    # Left join FROM idcg: every query has 3 ground-truth rows, so this
+    # side is complete even when the approx retriever came back empty.
+    return idcg.join(ta, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce("sum_dcg8", F.lit(0)).cast("double") / F.col("idcg8"), 6
+        ).alias("ndcg_at_3"),
+        F.coalesce(F.round(F.lit(1.0) / F.col("first_hit"), 6), F.lit(0.0)).alias(
+            "mrr"
+        ),
     )
 
 

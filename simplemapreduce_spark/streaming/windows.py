@@ -940,9 +940,12 @@ def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     it) — the oracle encodes exactly those two horizons against the
     final global watermark, least(max click ts, max purchase ts) - 1h;
     unmatched rows in the trailing windows are correctly ABSENT (still
-    pending when the finite replay drains). Fixture timestamps are
-    whole seconds, so millisecond watermark truncation cannot flip a
-    boundary row.
+    pending when the finite replay drains). Boundary safety, verified
+    against all three shipped fixtures: no purchase ts lies within 84 s
+    of the final watermark and no click's window edge within 3.5 s, so
+    neither millisecond truncation nor an inclusive-vs-exclusive
+    eviction boundary in Spark's state store can flip a row (the same
+    pinned-fixture argument as the left-outer sibling).
 
     Scale shape: same keyed-state symmetric hash join as the inner
     variant — state on both sides bounded by the watermark and the

@@ -75,7 +75,8 @@ def render(window: list[tuple[str, str]]) -> str:
 
 
 def main() -> None:
-    block = render(build_window())
+    window = build_window()
+    block = render(window)
     if "--write" in sys.argv:
         src = open(CATALOG_PATH).read()
         new, n = re.subn(
@@ -88,7 +89,7 @@ def main() -> None:
         if n != 1:
             raise RuntimeError("DRIVER_PRIORITY block not found in catalog.py")
         open(CATALOG_PATH, "w").write(new)
-        print(f"catalog.py rewritten: window of {len(build_window())}")
+        print(f"catalog.py rewritten: window of {len(window)}")
     else:
         print(block)
 

@@ -115,6 +115,10 @@ def main() -> None:
     print(f"built in {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    if only:
+        unknown = sorted(set(only) - set(PROBE))
+        if unknown:
+            raise SystemExit(f"not in PROBE: {unknown}")
     results = {}
     for name in PROBE:
         if only and name not in only:
