@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
+from simplemapreduce_spark.functions.time import epoch_micros
 from simplemapreduce_spark.sources.tables import load_table
 
 
@@ -700,4 +701,62 @@ def q_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("converted").cast("double") / F.count("*"), 6).alias(
             "conversion_rate"
         ),
+    )
+
+
+@query(
+    "q_events_dau_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+             user_id
+      FROM events
+    ), dau AS (
+      SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1
+    ), contrib AS (
+      SELECT ud.day + o.off AS wday, ud.user_id
+      FROM ud CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) o(off)
+    ), wau AS (
+      SELECT wday AS day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY 1
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           CAST(ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the
+    engagement-ratio report every product pipeline runs. The sliding
+    DISTINCT is the interesting operator: a user active on day d
+    counts toward the WAU of days d..d+6, expressed by exploding each
+    (user, day) into its 7 contribution windows and re-aggregating —
+    the standard shuffle-friendly rewrite of COUNT(DISTINCT) OVER a
+    RANGE frame, which Spark does not support directly (and which
+    q_window_cumulative_distinct handles for the UNBOUNDED case).
+
+    Scale shape: the corpus collapses to distinct (user, day) FIRST
+    (map-side partial distinct), so the 7x expansion applies to the
+    activity grain, never raw events; both aggregates are plain hash
+    aggs. Days joined back to DAU so only observed days report (a
+    trailing window past the last day is meaningless). All exact
+    integers; one rounded ratio."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        epoch_micros(F.date_trunc("day", "ts")) / F.lit(86_400_000_000)
+    ).cast("long")
+    ud = e.select(day.alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    offs = spark.range(0, 7).select(F.col("id").cast("long").alias("off"))
+    wau = (
+        ud.crossJoin(F.broadcast(offs))
+        .select((F.col("day") + F.col("off")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
