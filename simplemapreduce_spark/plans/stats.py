@@ -1100,3 +1100,60 @@ def q_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         rho("sp", "sr", "spp", "srr", "spr").alias("rho_price_revenue"),
         rho("sq", "sr", "sqq", "srr", "sqr").alias("rho_qty_revenue"),
     )
+
+
+@query(
+    "q_events_gini",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1
+    ), r AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM c
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(i * x) AS six FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(sx AS BIGINT) AS n_events,
+           CAST(ROUND(
+             2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the engagement-
+    inequality number (0 = everyone equally active, ->1 = all activity
+    from a few power users) that doubles as the key-skew diagnostic
+    for this very table: a high Gini on the groupBy(user_id) key is
+    what sends q_join_salted_skew's salting machinery into action.
+    Computed by the rank formula G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n
+    over ascending counts.
+
+    Determinism: ranks are a total order (count, then user_id) — and
+    the formula is tie-invariant anyway, since permuting equal x
+    among adjacent ranks leaves SUM(i*x) unchanged; all three moments
+    are exact integers feeding one shared double expression. int64
+    headroom: i*x <= |users| * max_count — at 1e10 users x 1e6 events
+    the SUM crosses int64, where the decimal/HUGEINT discipline of the
+    sibling queries applies; at any realistic per-table scale the
+    BIGINT path holds.
+
+    Scale shape: one hash agg to per-user counts, one global sort for
+    ranks (the unavoidable cost of an exact Gini — rank is order), one
+    scalar agg. The sort input is |users| rows, not |events|."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("x"))
+    i = F.row_number().over(W.orderBy("x", "user_id"))
+    r = c.select("x", i.alias("i"))
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    sx, six = F.col("sx").cast("double"), F.col("six").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("sx").cast("long").alias("n_events"),
+        F.round(2.0 * six / (n * sx) - (n + 1) / n, 6).alias("gini"),
+    )
