@@ -1677,3 +1677,93 @@ def q_sim_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purity"),
         )
     )
+
+
+@query(
+    "q_sim_knn_classify",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS true_label, e AS qe FROM v
+          WHERE vec_id < {N_QUERIES * 4}),
+    nn AS (
+      SELECT query_id, true_label, neighbor_label FROM (
+        SELECT q.query_id, q.true_label, v.label AS neighbor_label,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY ROUND(list_cosine_similarity(q.qe, v.e), 4) DESC,
+                           v.vec_id) AS rank
+        FROM q JOIN v ON v.vec_id <> q.query_id
+      ) WHERE rank <= 3
+    ),
+    votes AS (
+      SELECT query_id, true_label, neighbor_label, COUNT(*) AS n_votes
+      FROM nn GROUP BY 1, 2, 3
+    )
+    SELECT query_id, CAST(true_label AS INTEGER) AS true_label,
+           CAST(neighbor_label AS INTEGER) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           CAST(CASE WHEN neighbor_label = true_label THEN 1 ELSE 0 END
+                AS INTEGER) AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, neighbor_label) AS rk
+      FROM votes
+    ) WHERE rk = 1
+    """,
+)
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-NN majority-vote classification of the sampled query vectors
+    against their true labels — the embedding-quality eval that asks
+    "do my neighbors share my label", complementing the centroid-based
+    confusion matrix (q_embedding_nearest_centroid: one prototype per
+    class) with the local, non-parametric view. Vote ties break to the
+    smallest label; neighbor rank ties follow the module-wide
+    (rounded-cosine DESC, vec_id) contract.
+
+    Scale shape: the exact top-3 pass broadcasts the sampled query set
+    over one corpus scan (the same audit-on-a-sample economics as
+    q_sim_lsh_recall_eval); voting and the argmax run on |queries| x 3
+    rows. All integers after the rounded similarity rank."""
+    v = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES * 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+    )
+    rank_w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    nn = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= 3)
+    )
+    votes = nn.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    vote_w = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(vote_w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("neighbor_label").cast("int").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("neighbor_label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )
