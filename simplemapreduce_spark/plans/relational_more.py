@@ -629,3 +629,65 @@ def q_agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), c AS (
+      SELECT l_returnflag, price, qty,
+             SUM(qty) OVER (PARTITION BY l_returnflag
+                            ORDER BY price, qty
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(qty) OVER (PARTITION BY l_returnflag) AS total
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cum >= total THEN price END) AS DOUBLE)
+             AS weighted_median_price,
+           CAST(MAX(total) AS BIGINT) AS total_qty
+    FROM c GROUP BY 1
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price at which the cumulative quantity reaches half the group's
+    total — the aggregate neither engine ships natively (percentile
+    functions weight rows equally; here a 50-unit line counts 50x a
+    1-unit line), composed from a cumulative-sum window plus a
+    conditional MIN. The lower-median convention (first price crossing
+    half, 2*cum >= total in pure integer arithmetic) is deterministic
+    on both engines; equal-price rows order by qty within the cumsum,
+    which cannot change which PRICE first crosses the boundary.
+
+    Scale shape: one sort window per group key (the inherent cost of
+    any exact quantile — same as q_agg_percentile_cont) feeding a
+    partial/final conditional-MIN agg; integer quantities make every
+    cumulative sum exact, no float comparisons anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    cum_w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price", "qty")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("qty").over(cum_w).alias("cum"),
+        F.sum("qty").over(W.partitionBy("l_returnflag")).alias("total"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("price")))
+        .cast("double")
+        .alias("weighted_median_price"),
+        F.max("total").cast("long").alias("total_qty"),
+    )

@@ -232,6 +232,11 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "q_dedup_cross_source_matrix",
         "q_sim_bucket_purity",
         "q_ts_autocorr",
+        # Weighted median: per-row cumulative sums DO vary with the
+        # partition order among equal (price, qty) ties, but the
+        # first-price-crossing-half aggregate must be invariant to
+        # that — exactly the property worth pinning.
+        "q_agg_weighted_median",
     ):
         assert run(name, 3) == run(name, 17), name
 
