@@ -1334,3 +1334,54 @@ def q_ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("ak")).alias("asof_click_id"),
         F.when(ok, stale_secs).alias("staleness_secs"),
     )
+
+
+@query(
+    "q_ts_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS DOUBLE)
+             AS p50_secs,
+           CAST(round(quantile_cont(gap_us, 0.95) / 1000000.0, 6) AS DOUBLE)
+             AS p95_secs,
+           CAST(MAX(gap_us) / 1000000.0 AS DOUBLE) AS max_secs
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type (p50 / p95 / max
+    gap) — the stream-health profile behind alerting thresholds and
+    watermark tuning: the p95 gap is what you set a streaming
+    watermark delay against, and a max gap far above p95 flags an
+    outage window. Complements q_events_burstiness (dispersion of
+    counts) with the dual view (distribution of gaps).
+
+    Determinism: gaps are exact integer microseconds from the total
+    (ts, event_id) ordering; the exact interpolated percentile over
+    integers rounds at 6 dp on both engines (the q_ts_percentiles
+    recipe), and max is exact.
+
+    Scale shape: one sort window per event type for the LAG, then a
+    per-type exact-percentile aggregate — the percentile's group sort
+    rides the same shuffle as the window. Per-type streams sort
+    independently; no global ordering anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    micros = epoch_micros("ts")
+    gaps = e.select(
+        "event_type", (micros - F.lag(micros).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1000000.0, 6).alias("p50_secs"),
+        F.round(F.expr("percentile(gap_us, 0.95)") / 1000000.0, 6).alias("p95_secs"),
+        (F.max("gap_us") / 1000000.0).alias("max_secs"),
+    )
