@@ -760,3 +760,74 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wau").cast("long").alias("wau"),
         F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+_BOUNCE_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "q_sessions_bounce_rate",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_BOUNCE_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, sess,
+             CAST(date_trunc('day', MIN(ts)) AS DATE)::VARCHAR AS day,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS bounce_rate
+    FROM sessions GROUP BY 1
+    """,
+)
+def q_sessions_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of 30-min-gap sessions containing
+    exactly one event, keyed by the day the session STARTED — the
+    engagement-quality metric product dashboards pair with
+    q_events_dau_wau's stickiness. Built on the same gaps-and-islands
+    sessionization as q_ts_sessionize_stats, rolled one level higher
+    (session -> day) instead of per user.
+
+    Scale shape: one per-user sort window for session numbering (the
+    sessionize shuffle), one hash agg to sessions, one tiny agg to
+    |days| rows. Exact integers until the single rounded ratio; the
+    ordering tie-break (ts, event_id) totalizes the window."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = epoch_micros("ts")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((micros - F.lag(micros).over(w)) > F.lit(_BOUNCE_GAP_US)),
+        1,
+    ).otherwise(0)
+    sess = F.sum(is_new).over(
+        W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = (
+        e.select("user_id", "ts", sess.alias("sess"))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.date_format(F.date_trunc("day", F.min("ts")), "yyyy-MM-dd").alias("day"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    bounce = (F.col("n_events") == 1).cast("int")
+    return sessions.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounces"),
+        F.round(F.sum(bounce).cast("double") / F.count("*"), 6).alias("bounce_rate"),
+    )
