@@ -22,7 +22,7 @@ empties dropped).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
@@ -1221,4 +1221,96 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_novel").cast("double") / F.col("n_test_grams"), 6
             ).alias("novelty_rate"),
         )
+    )
+
+
+@query(
+    "q_text_heaps_law",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ), per_doc AS (
+      SELECT doc_id, len(t) AS n_toks FROM toks
+    ), firsts AS (
+      SELECT MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+      GROUP BY token
+    ), new_types AS (
+      SELECT first_doc AS doc_id, COUNT(*) AS n_new FROM firsts GROUP BY 1
+    ), curve AS (
+      SELECT p.doc_id,
+             SUM(p.n_toks) OVER (ORDER BY p.doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_toks,
+             SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY p.doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_vocab
+      FROM per_doc p LEFT JOIN new_types nt USING (doc_id)
+      WHERE p.n_toks > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(cum_toks) AS BIGINT) AS total_tokens,
+           CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size,
+           CAST(ROUND(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                                 ln(CAST(cum_toks AS DOUBLE))), 6) AS DOUBLE)
+             AS heaps_beta,
+           CAST(ROUND(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
+                                     ln(CAST(cum_toks AS DOUBLE))), 6) AS DOUBLE)
+             AS heaps_lnk
+    FROM curve
+    """,
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: distinct types V(N) vs
+    tokens seen N over the doc_id-ordered corpus, OLS-fit in log-log
+    space (V ~ K * N^beta) — the companion diagnostic to
+    q_text_zipf_fit (Zipf and Heaps are two views of the same
+    heavy-tailed vocabulary process); corpus engineers read beta to
+    predict tokenizer-vocabulary coverage at 10x the data. On the
+    synthetic fixture's closed ~31-token vocabulary the curve
+    saturates early and beta lands near 0 — the fit machinery is still
+    fully exercised (the regression consumes a genuinely monotone
+    two-phase curve).
+
+    Determinism: first-occurrence assignment (MIN doc_id per token)
+    and both cumulative sums are exact integers; only the ln/OLS step
+    is float, with the same algebraic regr_* + round-6 recipe as
+    q_agg_regression and q_text_zipf_fit.
+
+    Scale shape: the token explode feeds ONE min-agg (first_doc per
+    token — vocabulary-sized) and one per-doc count; the cumulative
+    windows then run over |docs| aggregated rows, not tokens. The
+    global ORDER BY doc_id window is the inherent cost of a corpus-
+    order growth curve — at 100 TB you sample checkpoint docs instead
+    of emitting every point, which subsamples the same ordered
+    frame."""
+    toks = tokens("text")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", toks.alias("t")
+    )
+    per_doc = d.select("doc_id", F.size("t").alias("n_toks")).filter(
+        F.col("n_toks") > 0
+    )
+    firsts = (
+        d.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_new"))
+    )
+    wc = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    curve = (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(wc).alias("cum_toks"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(wc).alias("cum_vocab"),
+        )
+    )
+    lnv = F.log(F.col("cum_vocab").cast("double"))
+    lnn = F.log(F.col("cum_toks").cast("double"))
+    return curve.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("cum_toks").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("vocab_size"),
+        F.round(F.regr_slope(lnv, lnn), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(lnv, lnn), 6).alias("heaps_lnk"),
     )
