@@ -831,3 +831,35 @@ def q_sessions_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bounce).cast("long").alias("n_bounces"),
         F.round(F.sum(bounce).cast("double") / F.count("*"), 6).alias("bounce_rate"),
     )
+
+
+@query(
+    "q_events_calendar_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap (events + distinct
+    users per cell) — the load-profile matrix capacity planning and
+    the seasonal-anomaly baseline (q_events_anomaly_seasonal) read
+    from. ISO day numbering (Mon=1..Sun=7) on both engines: Spark's
+    dayofweek is Sun=1-based, so the plan maps it explicitly rather
+    than trusting engine defaults to agree.
+
+    Scale shape: one partial/final hash agg to a fixed 7x24 grid; the
+    distinct-user count shuffles (dow, hod, user) partials — still
+    grid-bounded x |users|. No window, no join."""
+    e = load_table(spark, sf_dir, "events")
+    # Spark: dayofweek = 1 (Sunday) .. 7 (Saturday); ISO wants Mon=1.
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    return e.groupBy(
+        iso_dow.cast("int").alias("dow"), F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
