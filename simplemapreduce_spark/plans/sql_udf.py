@@ -186,3 +186,62 @@ def q_pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wmean("l_extendedprice", "l_quantity"), 6).alias("weighted_avg_price"),
         wsum("l_quantity").alias("total_weight"),
     )
+
+
+_CHUNK_SZ = 40
+
+
+@query(
+    "q_sql_table_function",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               AS n_toks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, n_toks,
+             unnest(range(0, CAST(ceil(CAST(n_toks AS DOUBLE) / {_CHUNK_SZ})
+                                  AS BIGINT))) AS chunk_idx
+      FROM d WHERE n_toks > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_SZ} AS INTEGER) AS start_tok,
+           CAST(LEAST({_CHUNK_SZ}, n_toks - chunk_idx * {_CHUNK_SZ}) AS INTEGER)
+             AS chunk_len
+    FROM chunks
+    """,
+)
+def q_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-declared TABLE function (CREATE FUNCTION ... RETURNS TABLE
+    ... RETURN SELECT) consumed via LATERAL — the declarative cousin of
+    the Python UDTF surface (operators/py_udtf.py): chunk_bounds(n, sz)
+    expands each document into its context-window chunk plan (index,
+    start offset, length), entirely as an inlined Catalyst subquery —
+    no Python worker, whole-stage codegen intact, unlike any
+    imperative chunker. Complements q_text_chunks (which materializes
+    chunk TEXT); this one emits the bounds plan a reader can apply
+    zero-copy.
+
+    Scale shape: the expansion factor is ceil(n_toks/40) per row —
+    data-proportional, no shuffle at all until a consumer aggregates;
+    the whole query is map-side."""
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION chunk_bounds(n INT, sz INT) "
+        f"RETURNS TABLE (chunk_idx INT, start_tok INT, chunk_len INT) RETURN "
+        f"SELECT i AS chunk_idx, i * sz AS start_tok, "
+        f"least(sz, n - i * sz) AS chunk_len "
+        f"FROM (SELECT explode(sequence(0, CAST(ceil(n / CAST(sz AS DOUBLE)) AS INT) - 1)) AS i)"
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("smr_docs_tf")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.start_tok, c.chunk_len
+        FROM (
+          SELECT doc_id,
+                 size(filter(split(text, '\\\\s+'), x -> x <> '')) AS n_toks
+          FROM smr_docs_tf
+        ) d, LATERAL chunk_bounds(d.n_toks, {_CHUNK_SZ}) c
+        WHERE d.n_toks > 0
+        """
+    )
