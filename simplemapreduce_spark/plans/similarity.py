@@ -1767,3 +1767,57 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+@query(
+    "q_embedding_norm_audit",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             ROUND(sqrt(list_aggregate(
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+               'sum')), 4) AS nrm,
+             len(embedding) AS dim
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(dim) AS BIGINT) AS min_dim,
+           CAST(MAX(dim) AS BIGINT) AS max_dim,
+           CAST(ROUND(MIN(nrm), 4) AS DOUBLE) AS min_norm,
+           CAST(ROUND(MAX(nrm), 4) AS DOUBLE) AS max_norm,
+           CAST(SUM(CASE WHEN ABS(nrm - 1.0) > 0.01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unnormalized
+    FROM n GROUP BY 1
+    """,
+)
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality audit per label: vector dimensionality
+    bounds, L2-norm range, and the count of non-unit-norm vectors —
+    the pre-flight check before any cosine/IVF index build (an
+    unnormalized slice silently skews every dot-product ranking, and a
+    ragged dimension breaks zip_with math). The constraint-audit
+    discipline of plans/quality.py applied to the vector table.
+
+    Determinism: the per-row norm is a sequential row-local fold in
+    BOTH engines (Spark aggregate(), DuckDB list_aggregate — same
+    left-to-right order over identical doubles), rounded to 4 dp
+    before any cross-row aggregate; min/max/counts are then exact.
+
+    Scale shape: map-side row-local norm + one hash agg to |labels|
+    rows. One scan, no shuffle beyond the tiny final agg."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    from simplemapreduce_spark.functions.vectors import l2_norm
+
+    nrm = F.round(l2_norm(F.col("embedding").cast("array<double>")), 4)
+    n = e.select("label", nrm.alias("nrm"), F.size("embedding").alias("dim"))
+    return n.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.sum((F.abs(F.col("nrm") - 1.0) > 0.01).cast("int"))
+        .cast("long")
+        .alias("n_unnormalized"),
+    )
