@@ -55,3 +55,9 @@ def event_time_to_ntz(col: Column | str) -> Column:
     window bounds: LTZ epoch back to the naive UTC wall clock."""
     c = F.col(col) if isinstance(col, str) else col
     return micros_to_ntz(F.unix_micros(c))
+
+
+# Shared 30-minute session gap used by every sessionization plan
+# (plans/timeseries.py gaps-and-islands, plans/analytics.py bounce rate,
+# streaming session windows) — one constant so the modules cannot desync.
+SESSION_GAP_MICROS = 30 * 60 * 1_000_000

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
-from simplemapreduce_spark.functions.time import epoch_micros
+from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS, epoch_micros
 from simplemapreduce_spark.sources.tables import load_table
 
 
@@ -762,21 +762,21 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BOUNCE_GAP_US = 30 * 60 * 1_000_000
+_BOUNCE_GAP_US = SESSION_GAP_MICROS
 
 
 @query(
     "q_sessions_bounce_rate",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_BOUNCE_GAP_US}
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS sess
       FROM marked
     ), sessions AS (
@@ -815,7 +815,9 @@ def q_sessions_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     sess = F.sum(is_new).over(
-        W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sessions = (
         e.select("user_id", "ts", sess.alias("sess"))

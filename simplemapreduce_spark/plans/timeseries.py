@@ -14,10 +14,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
-from simplemapreduce_spark.functions.time import epoch_micros
+from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS, epoch_micros
 from simplemapreduce_spark.sources.tables import load_table
 
-_GAP_MICROS = 30 * 60 * 1_000_000  # 30-minute session gap
+_GAP_MICROS = SESSION_GAP_MICROS  # 30-minute session gap (shared constant)
 
 
 @query(
