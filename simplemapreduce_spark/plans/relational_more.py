@@ -691,3 +691,65 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median_price"),
         F.max("total").cast("long").alias("total_qty"),
     )
+
+
+@query(
+    "q_agg_trimmed_mean",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (rk > n * 5 // 100
+                                 AND rk <= n - n * 5 // 100) AS BIGINT) AS n_kept,
+           CAST(ROUND(CAST(SUM(CASE WHEN rk > n * 5 // 100
+                                     AND rk <= n - n * 5 // 100
+                                    THEN cents END) AS DOUBLE)
+                      / (100.0 * COUNT(*) FILTER (rk > n * 5 // 100
+                                 AND rk <= n - n * 5 // 100)), 4) AS DOUBLE)
+             AS trimmed_mean_price
+    FROM r GROUP BY 1
+    """,
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean price per return flag: drop the bottom and top
+    5% of rows BY RANK before averaging — the robust-mean aggregate
+    (outlier-insensitive like the median, efficient like the mean)
+    that complements q_curation_winsorize, which CLAMPS tails instead
+    of dropping them. Trim bounds are pure integer arithmetic
+    (n*5//100 ranks off each end) over a totally-ordered rank
+    (price, orderkey, linenumber), so membership is deterministic on
+    any engine or partitioning; prices accumulate as exact cents with
+    one rounded division at the end.
+
+    Scale shape: one rank window per group (the exact-quantile sort
+    this family shares) feeding a conditional partial/final agg; no
+    second pass, no collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    rk = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy(
+            "l_extendedprice", "l_orderkey", "l_linenumber"
+        )
+    )
+    n = F.count("*").over(W.partitionBy("l_returnflag"))
+    r = li.select(
+        "l_returnflag", cents.alias("cents"), rk.alias("rk"), n.alias("n")
+    )
+    lo = F.floor(F.col("n") * 5 / 100)
+    keep = (F.col("rk") > lo) & (F.col("rk") <= F.col("n") - lo)
+    return r.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.when(keep, F.col("cents"))).cast("double")
+            / (100.0 * F.sum(keep.cast("int"))),
+            4,
+        ).alias("trimmed_mean_price"),
+    )
