@@ -865,3 +865,77 @@ def q_events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "q_events_top_movers",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), delta AS (
+      SELECT event_type, day, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+             LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day
+      FROM daily
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CAST(prev_n AS BIGINT) AS prev_n,
+           CAST(n - prev_n AS BIGINT) AS abs_change,
+           CAST(ROUND(CAST(n - prev_n AS DOUBLE) / prev_n, 6) AS DOUBLE)
+             AS pct_change
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY ABS(n - prev_n) DESC, day) AS rk
+      FROM delta WHERE prev_n IS NOT NULL AND prev_day = day - 1
+    ) WHERE rk <= 3
+    """,
+)
+def q_events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top day-over-day movers: for each event type, the 3 days with
+    the largest absolute change vs the PREVIOUS CALENDAR day — the
+    "what spiked" screen an on-call reads before drilling into
+    q_events_anomaly's z-scores. Non-adjacent days (a gap in the
+    series) are excluded rather than treated as consecutive — the
+    prev_day = day - 1 guard — because a change across a gap is a
+    data-coverage artifact, not a mover.
+
+    Determinism: counts and changes are exact integers; the argmax
+    window breaks |change| ties by day; the single pct division
+    rounds at 6 dp. Scale shape: one hash agg to the calendar grain,
+    then LAG + top-k windows over |types| x |days| rows — everything
+    after the first agg is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        epoch_micros(F.date_trunc("day", "ts")) / F.lit(86_400_000_000)
+    ).cast("long")
+    daily = e.groupBy("event_type", day.alias("day")).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    delta = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lag("day").over(w).alias("prev_day"),
+    ).filter(F.col("prev_n").isNotNull() & (F.col("prev_day") == F.col("day") - 1))
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(
+            F.abs(F.col("n") - F.col("prev_n")).desc(), "day"
+        )
+    )
+    return (
+        delta.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.col("prev_n").cast("long").alias("prev_n"),
+            (F.col("n") - F.col("prev_n")).cast("long").alias("abs_change"),
+            F.round(
+                (F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n"), 6
+            ).alias("pct_change"),
+        )
+    )
