@@ -237,6 +237,14 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         # first-price-crossing-half aggregate must be invariant to
         # that — exactly the property worth pinning.
         "q_agg_weighted_median",
+        # Round-4 closing batch: the agreement matrix unions four
+        # detector outputs (union order must not leak); kNN voting
+        # breaks neighbor and vote ties by id/label, not arrival; the
+        # sliding-distinct WAU re-aggregates an exploded contribution
+        # table whose shuffle layout varies with partitioning.
+        "q_dedup_method_agreement",
+        "q_sim_knn_classify",
+        "q_events_dau_wau",
     ):
         assert run(name, 3) == run(name, 17), name
 
