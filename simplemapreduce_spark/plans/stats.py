@@ -1157,3 +1157,47 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").cast("long").alias("n_events"),
         F.round(2.0 * six / (n * sx) - (n + 1) / n, 6).alias("gini"),
     )
+
+
+_EQW_LO, _EQW_HI, _EQW_N = 0.0, 500.0, 10  # fixed-width bucket spec
+
+
+@query(
+    "q_histogram_equiwidth",
+    oracle=f"""
+    SELECT CAST(FLOOR((value - {_EQW_LO}) / (({_EQW_HI} - {_EQW_LO}) / {_EQW_N}))
+                + 1 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-WIDTH histogram of event values via the SQL-standard
+    width_bucket over a FIXED [0, 500) x 10 grid — the streaming-
+    friendly dual of q_histogram_equidepth: fixed edges need no
+    quantile pass (one map-side bucket expression, mergeable counts),
+    which is why monitoring systems bin this way, at the price of
+    unbalanced buckets. The grid is a declared constant, not
+    min/max-derived, so the histogram is comparable ACROSS runs and
+    data slices — deriving edges from the data would make every
+    report's buckets mean something different.
+
+    Determinism: the oracle mirrors width_bucket's exact arithmetic
+    (floor((v - lo) / ((hi - lo) / n)) + 1 — the divisor 50.0 is exact
+    in binary, so both engines compute identical doubles); counts and
+    cent sums are exact integers.
+
+    Scale shape: one partial/final hash agg to a constant-size grid.
+    No window, no second pass."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.width_bucket(
+        "value", F.lit(_EQW_LO), F.lit(_EQW_HI), F.lit(_EQW_N)
+    ).cast("long")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("sum_cents"),
+    )
