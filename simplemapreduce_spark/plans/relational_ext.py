@@ -738,3 +738,57 @@ def q_lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", urls.alias("urls")).select(
         "doc_id", F.explode_outer("urls").alias("url")
     )
+
+
+@query(
+    "q_scalar_csv_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(COUNT(*) AS BIGINT) AS n_quoted_ok
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_scalar_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar CSV codec surface (to_csv / from_csv): each order row is
+    serialized to one CSV line — including a synthesized
+    comma-carrying field, so the quoting path actually runs — then
+    parsed back with an explicit schema, and the parsed columns drive
+    the aggregate. The oracle computes the same aggregate from the
+    BASE columns: the roundtrip must be the identity, so any quoting /
+    escaping / type-coercion defect in either codec direction surfaces
+    as a value mismatch (n_quoted_ok counts rows whose comma field
+    survived verbatim — it must equal n).
+
+    Only integer and string fields ride the codec: float formatting
+    is representation-lossy across engines and belongs to the parquet
+    path, not a text codec check.
+
+    Scale shape: both codecs are row-local JVM expressions inside
+    whole-stage codegen — one scan, one final hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    payload = F.concat_ws(",", "o_orderstatus", "o_orderpriority")
+    line = F.to_csv(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            payload.alias("p"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+    )
+    parsed = F.from_csv(line, "k BIGINT, p STRING, pr STRING")
+    d = o.select(
+        payload.alias("expect_p"), parsed.alias("r")
+    ).select(
+        F.col("r.pr").alias("o_orderpriority"),
+        F.col("r.k").alias("k"),
+        (F.col("r.p") == F.col("expect_p")).cast("int").alias("quoted_ok"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+        F.sum("quoted_ok").cast("long").alias("n_quoted_ok"),
+    )
