@@ -792,3 +792,51 @@ def q_scalar_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_key"),
         F.sum("quoted_ok").cast("long").alias("n_quoted_ok"),
     )
+
+
+@query(
+    "q_scalar_map_hof",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n * n) AS BIGINT) AS sum_sq_counts,
+           CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_frequent_types
+    FROM c GROUP BY 1
+    """,
+)
+def q_scalar_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order-function family over a per-user event-type
+    count map: map_from_entries builds the map, transform_values
+    squares the counts, map_filter keeps frequent types, and
+    aggregate folds the values — the MapType column algebra a feature
+    store uses for per-entity sparse features. The oracle computes the
+    identical scalars RELATIONALLY (no maps), so the whole map
+    pipeline is value-checked against plain SQL: any defect in map
+    construction, HOF evaluation, or fold order shows as a mismatch.
+
+    Scale shape: one (user, type) hash agg, then map construction +
+    HOFs are row-local over |users| rows (maps bounded by |types|).
+    The map column never shuffles — it is built AFTER the aggregate,
+    which is the layout that survives hot users."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    sq = F.transform_values(F.col("m"), lambda k, v: v * v)
+    freq = F.map_filter(F.col("m"), lambda k, v: v >= 3)
+    total_sq = F.aggregate(
+        F.map_values(sq), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        total_sq.alias("sum_sq_counts"),
+        F.size(freq).cast("long").alias("n_frequent_types"),
+    )
