@@ -1385,3 +1385,171 @@ def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_us, 0.95)") / 1000000.0, 6).alias("p95_secs"),
         (F.max("gap_us") / 1000000.0).alias("max_secs"),
     )
+
+
+@query(
+    "q_ts_vwap",
+    oracle="""
+    WITH px AS (
+      SELECT l_returnflag,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT month, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(qty) AS BIGINT) AS total_qty,
+           CAST(ROUND(CAST(SUM(CAST(price_cents AS HUGEINT) * qty) AS DOUBLE)
+                      / CAST(SUM(qty) AS DOUBLE) / 100.0, 4) AS DOUBLE)
+             AS vwap
+    FROM px GROUP BY 1, 2
+    """,
+)
+def q_ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly volume-weighted average price per return flag — the
+    canonical VWAP downsample a market/telemetry pipeline computes per
+    bar (complements q_ts_ohlc, which keeps first/last/extremes of the
+    same bars: VWAP is the size-aware center the open/close ignores).
+
+    Determinism recipe: prices become exact integer cents
+    (ROUND(p*100) — the _rcents discipline), quantities are exact
+    integers, so the price*volume numerator and volume denominator
+    accumulate exactly (decimal(28,0) / HUGEINT: cents*qty reaches
+    ~5e8 per line, int64 sums would still hold to ~2e10 lines, but
+    128-bit headroom makes the 100 TB case unconditional); the single
+    double division + round(4) is textually identical on both engines.
+
+    Scale shape: one partial/final hash agg to the (month, flag)
+    grain, pushed projection of 5 columns. Output is calendar-bounded
+    (|months| x 3 flags), so whatever reads it next broadcasts. The
+    reference would need its entire two-phase job for this one
+    aggregate (map: bucket; reduce: holistic sum) and would still
+    sort-merge string keys through its global merge
+    (/root/reference/src/mapreduce/master.go:89-128)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    px = li.select(
+        "l_returnflag",
+        F.to_date(F.date_trunc("month", "l_shipdate")).alias("month"),
+        price_cents.alias("price_cents"),
+        qty.alias("qty"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(28,0)")
+    return (
+        px.groupBy("month", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.sum(dec("price_cents") * dec("qty")).alias("pv"),
+        )
+        .select(
+            "month",
+            "l_returnflag",
+            "n_lines",
+            "total_qty",
+            F.round(
+                F.col("pv").cast("double")
+                / F.col("total_qty").cast("double")
+                / 100.0,
+                4,
+            ).alias("vwap"),
+        )
+    )
+
+
+@query(
+    "q_ts_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, day, cents,
+             MAX(cents) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+      FROM daily
+    ), dd AS (
+      SELECT event_type, day, peak, peak - cents AS dd,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY peak - cents DESC, day) AS rn
+      FROM r
+    )
+    SELECT event_type,
+           CAST(dd AS BIGINT) AS max_drawdown_cents,
+           day AS trough_day,
+           CAST(peak AS BIGINT) AS peak_cents,
+           CAST(CASE WHEN peak > 0
+                     THEN ROUND(CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE), 6)
+                     ELSE 0.0 END AS DOUBLE) AS drawdown_frac
+    FROM dd WHERE rn = 1
+    """,
+)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily value series per event type:
+    running peak (cumulative max) minus current value, reported at its
+    worst day — the risk/health metric a revenue or engagement series
+    is monitored by (how far below the best-ever day did we fall, and
+    when). Composes two window passes the siblings exercise separately
+    (q_window_running_sum's cumulative frame, q_window_row_number's
+    dedup-latest): cumulative MAX, then argmax-with-tie-break.
+
+    Determinism: daily sums are exact integer cents (the stats-module
+    discipline for the 2-dp event values), the running peak and
+    drawdown stay in integers end-to-end, and the single report row
+    per type is picked by ROW_NUMBER with a total (dd DESC, day)
+    ordering — ties fall to the earliest day on both engines. The
+    only float op is the final round(dd/peak, 6).
+
+    Scale shape: partial/final hash agg to the (type, day) grain
+    bounds everything downstream by the calendar, not the corpus; the
+    two windows and the rn=1 filter run on |types| x |days| rows and
+    share one partition-by-type exchange (Spark plans both window
+    functions plus the row_number in a single Window chain over the
+    same sort)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w_peak = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.max("cents").over(w_peak).alias("peak"),
+    ).select(
+        "event_type",
+        "day",
+        "peak",
+        (F.col("peak") - F.col("cents")).alias("dd"),
+    )
+    w_pick = W.partitionBy("event_type").orderBy(F.col("dd").desc(), "day")
+    return (
+        r.select("*", F.row_number().over(w_pick).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("dd").cast("long").alias("max_drawdown_cents"),
+            F.col("day").alias("trough_day"),
+            F.col("peak").cast("long").alias("peak_cents"),
+            F.when(
+                F.col("peak") > 0,
+                F.round(F.col("dd").cast("double") / F.col("peak").cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("drawdown_frac"),
+        )
+    )
