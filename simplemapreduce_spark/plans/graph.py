@@ -369,3 +369,124 @@ def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_suppliers"),
         F.min("suppkey").cast("long").alias("min_suppkey"),
     )
+
+
+@query(
+    "q_graph_common_neighbors",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM e
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+    wedge AS (
+      SELECT x.node AS a, y.node AS b, COUNT(*) AS cn
+      FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT w.a, w.b, w.cn
+      FROM wedge w
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.b)
+    )
+    SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+           CAST(c.cn AS BIGINT) AS common_neighbors,
+           CAST(ROUND(CAST(c.cn AS DOUBLE)
+                      / CAST(da.d + db.d - c.cn AS DOUBLE), 6) AS DOUBLE)
+             AS jaccard
+    FROM cand c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    ORDER BY common_neighbors DESC, a, b
+    LIMIT 10
+    """,
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count: the 10 strongest
+    NON-adjacent part pairs on the co-purchase graph, scored by shared
+    neighbors and neighbor-set Jaccard — the classic
+    recommend-an-edge primitive (Liben-Nowell/Kleinberg) a feature
+    pipeline derives next to the triangle counts it shares its edge
+    table with.
+
+    Reuses the memoized support-≥2 edge table (q_graph_triangles'
+    `graph.copurchase_edges` key — one build serves both queries in a
+    session). Edges are canonical u<v; adjacency is the symmetric
+    union, so a wedge join on the shared neighbor with a<b counts
+    every common neighbor exactly once, and an anti-join against the
+    canonical edges keeps only predicted (absent) links. Jaccard's
+    denominator deg(a)+deg(b)-cn is exact-integer; the only float is
+    the final round(·, 6). Top-10 by the TOTAL order (cn DESC, a, b),
+    so boundary ties resolve identically on both engines.
+
+    Scale shape: the wedge join is the same degree-bounded shape the
+    triangle count survives on (support filter prunes hubs — the
+    standard count-then-filter refinement); everything after it is
+    hash joins on node keys plus a TakeOrderedAndProject top-k (no
+    global sort). The reference cannot express any of this: a
+    wedge-then-anti-join needs chained shuffles its one-map-one-reduce
+    barrier (/root/reference/src/mapreduce/master.go:77-78) cannot
+    schedule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = memo_persist(
+        li.select("l_orderkey", "l_partkey").distinct(),
+        f"basket.order_parts:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
+    )
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = F.expr(
+        "explode(flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v)))))"
+    )
+    e = memo_persist(
+        baskets.select(pair_expr.alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("u", "v"),
+        f"graph.copurchase_edges:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    wedge = (
+        x.join(y, (F.col("x.nbr") == F.col("y.nbr")) & (F.col("x.node") < F.col("y.node")))
+        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = wedge.join(
+        e, (wedge.a == e.u) & (wedge.b == e.v), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "a", "b")
+        .limit(10)
+    )
