@@ -942,3 +942,87 @@ def q_sample_topp_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.max("total_mass"), 6
         ).alias("coverage"),
     )
+
+
+@query(
+    "q_preference_pairs",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, doc_id % 200 AS prompt_id,
+             len(list_distinct(list_filter(
+               string_split_regex(text, '\\s+'), t -> t <> ''))) AS score,
+             n_chars
+      FROM documents
+    ), g AS (
+      SELECT prompt_id,
+             COUNT(*) AS n_candidates,
+             first(doc_id ORDER BY score DESC, n_chars DESC, doc_id)
+               AS chosen_doc_id,
+             first(score  ORDER BY score DESC, n_chars DESC, doc_id)
+               AS chosen_score,
+             first(doc_id ORDER BY score ASC, n_chars ASC, doc_id)
+               AS rejected_doc_id,
+             first(score  ORDER BY score ASC, n_chars ASC, doc_id)
+               AS rejected_score
+      FROM scored GROUP BY 1
+    )
+    SELECT CAST(prompt_id AS BIGINT) AS prompt_id,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(chosen_doc_id AS BIGINT) AS chosen_doc_id,
+           CAST(rejected_doc_id AS BIGINT) AS rejected_doc_id,
+           CAST(chosen_score AS BIGINT) AS chosen_score,
+           CAST(rejected_score AS BIGINT) AS rejected_score,
+           CAST(chosen_score - rejected_score AS BIGINT) AS margin
+    FROM g
+    WHERE n_candidates >= 2 AND chosen_score > rejected_score
+    """,
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction: within each response
+    group, emit (chosen, rejected) = the best- and worst-scoring
+    candidates with a strictly positive margin — the
+    dataset-assembly step between scoring and preference training
+    (complement of q_sft_render, which formats the chosen side). The
+    fixture has no prompt column, so a deterministic doc_id bucket
+    stands in for the prompt key; the shape (group -> argmax/argmin ->
+    strict-margin filter) is the real pipeline's.
+
+    Score = distinct-token count (lexical richness — the shared
+    tokenizer contract of functions/text.py), tie-broken by n_chars
+    then doc_id: a TOTAL order, so argmax and argmin are unique.
+    Spark computes both extremes as one partial/final aggregate of
+    lexicographic MAX/MIN over (score, n_chars, ±doc_id) structs — no
+    sort window, constant state per group; DuckDB spells the same
+    selection as ordered-set `first(... ORDER BY ...)`. Groups where
+    every candidate ties (margin 0) are dropped identically on both
+    engines — preference training needs strict pairs.
+
+    Scale shape: per-doc scoring is row-local JVM expressions; one
+    hash agg by prompt_id (the natural key a real preference set is
+    already distributed by) and no joins. All integers end-to-end."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        (F.col("doc_id") % 200).alias("prompt_id"),
+        F.size(F.array_distinct(tokens("text"))).alias("score"),
+        "n_chars",
+    )
+    hi = F.max(
+        F.struct(F.col("score"), F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+    ).alias("hi")
+    lo = F.min(F.struct(F.col("score"), F.col("n_chars"), F.col("doc_id"))).alias("lo")
+    g = scored.groupBy("prompt_id").agg(F.count("*").alias("n_candidates"), hi, lo)
+    return (
+        g.filter(
+            (F.col("n_candidates") >= 2) & (F.col("hi.score") > F.col("lo.score"))
+        )
+        .select(
+            F.col("prompt_id").cast("long").alias("prompt_id"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            (-F.col("hi.nd")).cast("long").alias("chosen_doc_id"),
+            F.col("lo.doc_id").cast("long").alias("rejected_doc_id"),
+            F.col("hi.score").cast("long").alias("chosen_score"),
+            F.col("lo.score").cast("long").alias("rejected_score"),
+            (F.col("hi.score") - F.col("lo.score")).cast("long").alias("margin"),
+        )
+    )
