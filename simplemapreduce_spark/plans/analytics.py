@@ -939,3 +939,63 @@ def q_events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_change"),
         )
     )
+
+
+@query(
+    "q_events_new_vs_returning",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ), first_seen AS (
+      SELECT user_id, MIN(day) AS first_day FROM du GROUP BY 1
+    ), tagged AS (
+      SELECT d.day, d.user_id, (d.day = f.first_day) AS is_new
+      FROM du d JOIN first_seen f ON f.user_id = d.user_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+             AS returning_users,
+           CAST(ROUND(CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS new_frac
+    FROM tagged GROUP BY 1
+    """,
+)
+def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: DAU decomposed into first-ever-seen
+    (new) vs returning users — the acquisition/retention split product
+    analytics reads before anything else, and the complement of
+    q_events_dau_wau (stickiness) and q_cohort_retention (cohort
+    decay): same active-user base, different cut.
+
+    A user is "new" only on their global first active day, computed as
+    MIN(day) over the whole history — not a bounded lookback — so the
+    decomposition is exact. day = calendar date truncation; everything
+    is exact integers but the final rounded ratio.
+
+    Scale shape: distinct (day, user) collapses map-side first; the
+    first-seen table is one hash agg BY USER (the high-cardinality
+    key, so it parallelizes with the data); the tag join is
+    user-keyed — co-partitioned with the agg that produced it, and AQE
+    picks broadcast if |users| is small. Final rollup is |days| rows.
+    A self-window over user history would do one sort per user
+    instead; the two-agg shape avoids any sort."""
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id")
+        .distinct()
+    )
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    tagged = du.join(first_seen, "user_id").select(
+        "day", (F.col("day") == F.col("first_day")).cast("int").alias("is_new")
+    )
+    return tagged.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau"),
+        F.sum("is_new").cast("long").alias("new_users"),
+        (F.count("*") - F.sum("is_new")).cast("long").alias("returning_users"),
+        F.round(
+            F.sum("is_new").cast("double") / F.count("*").cast("double"), 6
+        ).alias("new_frac"),
+    )
