@@ -840,3 +840,44 @@ def q_scalar_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_sq.alias("sum_sq_counts"),
         F.size(freq).cast("long").alias("n_frequent_types"),
     )
+
+
+@query(
+    "q_scalar_regexp",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER)
+             AS n_vowel_runs,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER)
+             AS n_words,
+           regexp_replace(substr(text, 1, 40), '\s+', '_', 'g') AS squeezed,
+           regexp_matches(text, '[0-9]') AS has_digit
+    FROM documents
+    """,
+)
+def q_scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regexp scalar-function family in one pass: group extract
+    (regexp_extract), match enumeration (regexp_extract_all + size),
+    global substitution (regexp_replace — Spark replaces all
+    occurrences natively; the DuckDB twin needs the explicit 'g'
+    option), and boolean match (rlike / regexp_matches). Siblings
+    q_text_url_extract / q_text_token_count_regex use regexps inside
+    larger pipelines; this query pins the per-function semantics
+    contract itself — return '' on no match, leftmost-longest runs,
+    count of non-overlapping matches.
+
+    Patterns stay in the character-class + anchor subset where Java
+    regex (Spark, codegen'd JVM-side) and RE2 (DuckDB) agree; the
+    squeeze runs on a 40-char prefix so the output column stays
+    narrow. Row-local projection, zero shuffles, pushed 3-column
+    scan — at 100 TB this is a pure map stage at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_word"),
+        F.size(F.expr("regexp_extract_all(text, '[aeiou]+', 0)")).alias("n_vowel_runs"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("n_words"),
+        F.regexp_replace(F.substring("text", 1, 40), r"\s+", "_").alias("squeezed"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+    )
