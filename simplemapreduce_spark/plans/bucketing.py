@@ -255,3 +255,79 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zb").cast("long").alias("max_day"),
         )
     )
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+               AS ship_month
+      FROM orders
+      WHERE year(o_orderdate) = 1992 AND o_orderpriority = '1-URGENT'
+    ), fact AS (
+      SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+               AS rev_cents
+      FROM lineitem
+    )
+    SELECT f.ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+    FROM fact f JOIN dim d ON d.ship_month = f.ship_month
+    GROUP BY 1
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    Hive-partitioned by ship month (written once per sf to scratch,
+    reused across calls), and the join against a SELECTIVE derived
+    dimension (urgent-order months of 1992) lets Spark inject a
+    runtime `dynamicpruning` subquery into the fact scan — only the
+    matching month directories are read. At 100 TB this is the
+    difference between scanning 12/84 months and scanning everything:
+    partition pruning driven by JOIN results, not just static
+    predicates (complement of q_join_bucketed's shuffle elimination
+    and q_layout_zorder's intra-file min/max pruning; plan asserted in
+    tests/test_plans.py).
+
+    The oracle computes the identical join on the raw parquet —
+    layout is an execution concern, the answer must not change.
+    Revenue accumulates as exact integer cents (_rcents)."""
+    import os
+
+    from simplemapreduce_spark.sources.tables import table_path
+
+    path = _scratch_dir("dpp_lineitem_by_month", sf_dir)
+    marker = os.path.join(path, "_smr_stamp")
+    stamp = str(os.path.getmtime(table_path(sf_dir, "lineitem")))
+    if not (os.path.exists(marker) and open(marker).read() == stamp):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_extendedprice",
+            "l_discount",
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        )
+        li.write.mode("overwrite").partitionBy("ship_month").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    fact = spark.read.parquet(path)
+    o = load_table(spark, sf_dir, "orders")
+    dim = (
+        o.filter(
+            (F.year("o_orderdate") == 1992)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .distinct()
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(rev_cents).cast("long").alias("revenue_cents"),
+        )
+    )

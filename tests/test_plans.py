@@ -542,3 +542,14 @@ def test_ndcg_eval_broadcasts_query_side(spark, sf_dir):
     # here is that no CORPUS-sized side is ever shuffled against the
     # query set, i.e. the broadcast exchanges exist.)
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """q_join_dpp's fact scan must carry a runtime dynamic-pruning
+    subquery on the partition column (ship_month), i.e. the join
+    result — not a static predicate — drives which month directories
+    are read."""
+    df = catalog.QUERIES["q_join_dpp"](spark, sf_dir)
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in exec_plan.lower(), exec_plan[:2000]
+    assert "ship_month" in exec_plan
