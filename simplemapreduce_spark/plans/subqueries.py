@@ -88,3 +88,44 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-then-join: one groupBy over orders plus one equi-join,
     never O(rows × subquery) execution."""
     return _sql(spark, sf_dir, _CORRELATED_SQL)
+
+
+_NOT_IN_NULLS_SQL = """
+    SELECT 'not_in_nullfree' AS panel, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+    UNION ALL
+    SELECT 'not_in_with_null', COUNT(*)
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT CASE WHEN c_nationkey = 3 THEN NULL ELSE c_custkey END
+      FROM customer WHERE c_nationkey < 5)
+    UNION ALL
+    SELECT 'not_exists_with_null', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_nationkey < 5
+        AND (CASE WHEN c.c_nationkey = 3 THEN NULL ELSE c.c_custkey END)
+              = o.o_custkey)
+"""
+
+
+@query("q_subquery_not_in_nulls", oracle=_NOT_IN_NULLS_SQL)
+def q_subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN three-valued-logic trap, pinned as a three-panel
+    contrast on identical SQL text: (1) NOT IN against a NULL-free
+    list — the null-aware anti join's happy path; (2) the same list
+    with one NULL injected — x <> NULL is UNKNOWN, so NO row can pass
+    and the count is exactly 0 (the production bug this query
+    documents: one NULL silently empties the result); (3) the NOT
+    EXISTS rewrite of the same predicate — NULL keys simply never
+    match, so it counts against the null-free subset instead, a
+    strictly larger result than panel 1. Catalyst plans (1)/(2) as
+    NullAwareAntiJoin vs DuckDB's mark join — two different physical
+    strategies, one SQL-mandated answer per panel.
+
+    Scale shape: each panel is a broadcast-able anti/semi join against
+    a filtered dim plus a count; the union is 3 rows."""
+    return _sql(spark, sf_dir, _NOT_IN_NULLS_SQL)
