@@ -245,6 +245,14 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "q_dedup_method_agreement",
         "q_sim_knn_classify",
         "q_events_dau_wau",
+        # Round-4 resumed batch: drawdown's argmax row and the
+        # preference pairs' struct extremes are tie-broken by total
+        # orders that must decide under any shuffle fan-in; the
+        # common-neighbor top-10 ranks a wedge-join count whose
+        # candidate layout varies with partitioning.
+        "q_ts_drawdown",
+        "q_preference_pairs",
+        "q_graph_common_neighbors",
     ):
         assert run(name, 3) == run(name, 17), name
 
