@@ -881,3 +881,49 @@ def q_scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.substring("text", 1, 40), r"\s+", "_").alias("squeezed"),
         F.col("text").rlike("[0-9]").alias("has_digit"),
     )
+
+
+@query(
+    "q_scalar_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 100 DAY AS TIMESTAMP) AS due_100d,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(isodow(o_orderdate) AS INTEGER) AS dow_iso,
+           CAST(date_diff('day', o_orderdate,
+                          TIMESTAMP '1998-12-31') AS INTEGER) AS days_to_close
+    FROM orders
+    """,
+)
+def q_scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval ARITHMETIC contract (sibling of q_scalar_date's
+    field extraction): timestamp + day interval, month addition with
+    end-of-month clamping (Jan 31 + 1 month = Feb 28 — Spark
+    add_months and DuckDB's month interval both clamp, and this query
+    pins that they clamp IDENTICALLY), last_day, ISO day-of-week
+    (Spark's default dayofweek is 1=Sunday; the portable spelling is
+    weekday()+1 = isodow — the off-by-one every cross-engine port
+    hits), and a day count against a fixed anchor (never now(): wall
+    clock would break both the oracle and reproducibility).
+
+    Engine quirk pinned while building this query: DuckDB compares
+    interval constants by a months~30-days approximation, so INTERVAL
+    90 DAY == INTERVAL 3 MONTH and its common-subexpression
+    elimination MERGES the two additions when both appear in one
+    SELECT (observed on 1.0.0: both columns silently became +90
+    days). The day offset here is 100 precisely so the two interval
+    constants are unequal under that rule.
+
+    Row-local projection, zero shuffles, codegen'd date arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")).alias("due_100d"),
+        F.add_months("o_orderdate", 3).alias("plus_3_months"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("dow_iso"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_close"),
+    )
