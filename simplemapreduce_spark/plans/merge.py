@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 from simplemapreduce_spark.catalog import query
 from simplemapreduce_spark.sources.tables import load_table
 
-_CUTOFF = "1994-06-01"
+# Mid-range of the fixture's 1995-2001 order dates. Round 4 fix: the
+# original 1994-06-01 cutoff predated every fixture order, so the
+# "base" snapshot was EMPTY and the matched-update path of both merge
+# queries ran vacuously green (the trap the repo docs warn about).
+_CUTOFF = "1998-01-01"
 
 
 def merge_upsert(
@@ -154,4 +158,97 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(w_ver).alias("valid_to"),
         F.row_number().over(w_ver).cast("long").alias("version"),
+    )
+
+
+@query(
+    "q_merge_delete",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS prio, COUNT(*) AS n_orders
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+      GROUP BY 1, 2
+    ), changes AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS prio, COUNT(*) AS n_orders,
+             (o_custkey % 10 = 0) AS tombstone
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+      GROUP BY 1, 2
+    )
+    SELECT COALESCE(b.custkey, c.custkey) AS custkey,
+           COALESCE(b.prio, c.prio) AS prio,
+           CAST(COALESCE(b.n_orders, 0) + COALESCE(c.n_orders, 0) AS BIGINT)
+             AS n_orders,
+           CASE WHEN c.custkey IS NULL THEN 'kept'
+                WHEN b.custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action
+    FROM base b FULL OUTER JOIN changes c
+      ON c.custkey = b.custkey AND c.prio = b.prio
+    WHERE NOT (b.custkey IS NOT NULL AND c.custkey IS NOT NULL
+               AND c.tombstone)
+      AND NOT (b.custkey IS NULL AND c.tombstone)
+    """,
+)
+def q_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full three-branch MERGE, including the DELETE clause
+    q_merge_upsert omits: the change batch carries a tombstone
+    (erasure-request semantics — here: a deterministic 10 % erasure
+    list, custkey % 10 = 0) at the (customer, priority) grain — finer
+    than the upsert's customer grain precisely so all FOUR branches
+    are non-vacuous on the fixtures (every customer spans the date
+    cutoff, but not every customer-priority pair does), and WHEN MATCHED AND tombstone THEN DELETE drops the
+    row entirely; WHEN MATCHED THEN UPDATE accumulates; WHEN NOT
+    MATCHED AND NOT tombstone THEN INSERT (a tombstone for a row that
+    was never in the base inserts nothing — the idempotency corner a
+    replayed CDC stream hits). Surviving rows are tagged with the
+    branch that produced them, so every branch is visible in the
+    output, not just implied by absence.
+
+    Same table-format-free lowering as the sibling: shuffle both
+    sides on the merge key, one full-outer join, row-local branch
+    logic — what Delta/Iceberg MERGE plans to, minus the log commit.
+    Exact integers end-to-end."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    base = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .alias("b")
+    )
+    changes = (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn("tombstone", F.col("custkey") % 10 == 0)
+        .alias("c")
+    )
+    j = base.join(
+        changes,
+        (F.col("b.custkey") == F.col("c.custkey"))
+        & (F.col("b.prio") == F.col("c.prio")),
+        "full_outer",
+    )
+    matched = F.col("b.custkey").isNotNull() & F.col("c.custkey").isNotNull()
+    delete = (matched & F.col("c.tombstone")) | (
+        F.col("b.custkey").isNull() & F.col("c.tombstone")
+    )
+    return j.filter(~delete).select(
+        F.coalesce(F.col("b.custkey"), F.col("c.custkey")).alias("custkey"),
+        F.coalesce(F.col("b.prio"), F.col("c.prio")).alias("prio"),
+        (
+            F.coalesce(F.col("b.n_orders"), F.lit(0))
+            + F.coalesce(F.col("c.n_orders"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_orders"),
+        F.when(F.col("c.custkey").isNull(), F.lit("kept"))
+        .when(F.col("b.custkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
     )
