@@ -1047,38 +1047,47 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEX_QUERIES = 10  # doc_id < 10 are the retrieval queries
 _LEX_TOP_K = 3
 
+# Lexical-retrieval scored CTE chain (token inverted-index join ->
+# exact-integer TF-IDF dot products -> cosine), shared between the
+# lexical top-k oracle below and the RRF hybrid-fusion oracle
+# (plans/similarity.py q_sim_rrf_fusion).
+_SQL_LEX_SCORED = f"""
+    lex_toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+    lex_tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM lex_toks GROUP BY 1, 2),
+    lex_dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM lex_toks GROUP BY 1),
+    lex_df AS (SELECT token, COUNT(DISTINCT doc_id) AS n_docs FROM lex_toks GROUP BY 1),
+    lex_n AS (SELECT COUNT(*) AS n_total FROM documents),
+    lex_w AS (
+      SELECT lex_tf.doc_id, lex_tf.token,
+             CAST(ROUND((CAST(cnt AS DOUBLE) / doc_len)
+                        * ln(CAST(n_total AS DOUBLE) / n_docs) * 1000000, 0) AS BIGINT)
+               AS w6
+      FROM lex_tf JOIN lex_dl USING (doc_id) JOIN lex_df USING (token) CROSS JOIN lex_n),
+    lex_nrm AS (SELECT doc_id, SQRT(CAST(SUM(w6 * w6) AS DOUBLE)) AS nv
+                FROM lex_w GROUP BY 1),
+    lex_dot AS (
+      SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id, SUM(q.w6 * d.w6) AS dp
+      FROM lex_w q JOIN lex_w d ON q.token = d.token AND q.doc_id <> d.doc_id
+      WHERE q.doc_id < {_LEX_QUERIES}
+      GROUP BY 1, 2),
+    lex_scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(CAST(dp AS DOUBLE) / (qn.nv * dn.nv), 4) AS cos_sim
+      FROM lex_dot
+        JOIN lex_nrm qn ON qn.doc_id = query_id
+        JOIN lex_nrm dn ON dn.doc_id = neighbor_id)
+"""
+
 
 @query(
     "q_sim_tfidf_lexical_topk",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
-    tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
-    dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
-    df AS (SELECT token, COUNT(DISTINCT doc_id) AS n_docs FROM toks GROUP BY 1),
-    n AS (SELECT COUNT(*) AS n_total FROM documents),
-    w AS (
-      SELECT tf.doc_id, tf.token,
-             CAST(ROUND((CAST(cnt AS DOUBLE) / doc_len)
-                        * ln(CAST(n_total AS DOUBLE) / n_docs) * 1000000, 0) AS BIGINT)
-               AS w6
-      FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN n),
-    nrm AS (SELECT doc_id, SQRT(CAST(SUM(w6 * w6) AS DOUBLE)) AS nv FROM w GROUP BY 1),
-    dot AS (
-      SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id, SUM(q.w6 * d.w6) AS dp
-      FROM w q JOIN w d ON q.token = d.token AND q.doc_id <> d.doc_id
-      WHERE q.doc_id < {_LEX_QUERIES}
-      GROUP BY 1, 2),
-    scored AS (
-      SELECT query_id, neighbor_id,
-             ROUND(CAST(dp AS DOUBLE) / (qn.nv * dn.nv), 4) AS cos_sim
-      FROM dot
-        JOIN nrm qn ON qn.doc_id = query_id
-        JOIN nrm dn ON dn.doc_id = neighbor_id),
+    WITH {_SQL_LEX_SCORED},
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
-      FROM scored)
+      FROM lex_scored)
     SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_LEX_TOP_K}
     ORDER BY query_id, rank
     """,
@@ -1102,6 +1111,22 @@ def q_sim_tfidf_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary makes every token stopword-grade, so a cap would empty
     the index and is deliberately not applied here (documented rather
     than vacuously parameterized)."""
+    from pyspark.sql import Window as _W
+
+    scored = lexical_scored(spark, sf_dir)
+    rk = _W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= _LEX_TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def lexical_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim) lexical-retrieval scores —
+    the shared subplan of q_sim_tfidf_lexical_topk and the RRF hybrid
+    fusion (plans/similarity.py); the Spark twin of _SQL_LEX_SCORED."""
     tf = _tf_table(spark, sf_dir)
     dfreq = tf.groupBy("token").agg(F.count("*").alias("n_docs"))
     n = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_total"))
@@ -1133,9 +1158,7 @@ def q_sim_tfidf_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), F.col("nv").alias("qnv")
     )
     dn = nrm.select(F.col("doc_id").alias("neighbor_id"), F.col("nv").alias("dnv"))
-    from pyspark.sql import Window as _W
-
-    scored = (
+    return (
         dot.join(F.broadcast(qn), "query_id")
         .join(dn, "neighbor_id")
         .select(
@@ -1144,13 +1167,6 @@ def q_sim_tfidf_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dp").cast("double") / (F.col("qnv") * F.col("dnv")), 4)
             .alias("cos_sim"),
         )
-    )
-    rk = _W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(rk))
-        .filter(F.col("rank") <= _LEX_TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-        .orderBy("query_id", "rank")
     )
 
 

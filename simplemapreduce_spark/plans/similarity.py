@@ -34,19 +34,44 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dense-retrieval scored CTE chain (broadcast query set, exact cosine
+# against every corpus vector), shared between the brute-force top-k
+# oracle and the RRF hybrid-fusion oracle (q_sim_rrf_fusion).
+_SQL_DENSE_SCORED = f"""
+    dense_v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dense_q AS (SELECT vec_id AS query_id, e AS qe FROM dense_v
+                WHERE vec_id < {N_QUERIES}),
+    dense_scored AS (
+      SELECT dense_q.query_id, dense_v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(dense_q.qe, dense_v.e), 4) AS cos_sim
+      FROM dense_q JOIN dense_v ON dense_v.vec_id <> dense_q.query_id
+    )
+"""
+
+
+def dense_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim) exact dense-retrieval scores —
+    the shared subplan of q_sim_topk_bruteforce and the RRF hybrid
+    fusion; the Spark twin of _SQL_DENSE_SCORED."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+    )
+
+
 @query(
     "q_sim_topk_bruteforce",
     oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
-    scored AS (
-      SELECT q.query_id, v.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qe, v.e), 4) AS cos_sim
-      FROM q JOIN v ON v.vec_id <> q.query_id
-    ), ranked AS (
+    WITH {_SQL_DENSE_SCORED},
+    ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
-      FROM scored
+      FROM dense_scored
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
     """,
@@ -55,18 +80,7 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline: broadcast the query set, score every
     candidate, per-query top-k via window rank. One pass over the
     corpus, no shuffle of the big side before scoring."""
-    v = _vectors(spark, sf_dir)
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    scored = (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
-        )
-    )
+    scored = dense_scored(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1821,3 +1835,106 @@ def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_unnormalized"),
     )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 10  # per-retriever list depth fed into the fusion
+_RRF_OUT = 5
+
+
+def _rrf_oracle() -> str:
+    from simplemapreduce_spark.plans.llm_text import _SQL_LEX_SCORED
+
+    return f"""
+    WITH {_SQL_LEX_SCORED}, {_SQL_DENSE_SCORED},
+    lex_ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM lex_scored WHERE query_id < {N_QUERIES}),
+    dense_ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM dense_scored),
+    pooled AS (
+      SELECT * FROM lex_ranked WHERE rank <= {_RRF_DEPTH}
+      UNION ALL
+      SELECT * FROM dense_ranked WHERE rank <= {_RRF_DEPTH}),
+    rrf AS (
+      SELECT query_id, neighbor_id,
+             COUNT(*) AS n_lists,
+             SUM(1.0 / ({_RRF_K} + rank)) AS score
+      FROM pooled GROUP BY 1, 2),
+    fused AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS fused_rank
+      FROM rrf)
+    SELECT query_id, neighbor_id AS doc_id,
+           CAST(n_lists AS INTEGER) AS n_lists,
+           CAST(ROUND(score, 6) AS DOUBLE) AS rrf_score,
+           CAST(fused_rank AS INTEGER) AS fused_rank
+    FROM fused WHERE fused_rank <= {_RRF_OUT}
+    """
+
+
+@query("q_sim_rrf_fusion", oracle=_rrf_oracle())
+def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the lexical TF-IDF
+    retriever (plans/llm_text.lexical_scored — sparse inverted-index
+    join) and the dense embedding retriever (dense_scored — exact
+    cosine) each produce a depth-{D} ranked list per query (the items
+    with both a document and an embedding row share one id space);
+    RRF merges them as sum(1/({K}+rank)) — the score-free fusion
+    (Cormack et al., SIGIR'09) that modern hybrid search defaults to
+    BECAUSE it never compares raw scores across retrievers (TF-IDF
+    cosines and embedding cosines are not calibrated against each
+    other; rank is the only shared currency).
+
+    Determinism: each retriever's ranks are already pinned by their
+    host queries' total orders; the fused score is a sum of at most
+    two doubles (IEEE addition is commutative, so accumulation order
+    cannot matter at 2 terms), tie-broken by doc_id. n_lists exposes
+    WHY an item fused high (consensus vs one strong list).
+
+    Scale shape: both scored subplans are the memoized/shared shapes
+    their own queries run (corpus never shuffles before scoring); the
+    fusion itself touches 2 x {D} x |queries| rows — negligible. The
+    two retrievers are independent subtrees, so Spark schedules their
+    stages concurrently inside one job."""
+    from simplemapreduce_spark.plans.llm_text import lexical_scored
+
+    def ranked(scored: DataFrame) -> DataFrame:
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _RRF_DEPTH)
+            .select("query_id", "neighbor_id", "rank")
+        )
+
+    lex = ranked(
+        lexical_scored(spark, sf_dir).filter(F.col("query_id") < N_QUERIES)
+    )
+    den = ranked(dense_scored(spark, sf_dir))
+    pooled = lex.unionAll(den)
+    rrf = pooled.groupBy("query_id", "neighbor_id").agg(
+        F.count("*").alias("n_lists"),
+        F.sum(F.lit(1.0) / (_RRF_K + F.col("rank"))).alias("score"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        rrf.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= _RRF_OUT)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("n_lists").cast("int").alias("n_lists"),
+            F.round("score", 6).alias("rrf_score"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )
+
+
+q_sim_rrf_fusion.__doc__ = q_sim_rrf_fusion.__doc__.format(D=_RRF_DEPTH, K=_RRF_K)
