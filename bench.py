@@ -85,6 +85,12 @@ EXTENDED = [
     "q_pipeline_curation_funnel",
     "q_stream_tumbling",
     "q_graph_pagerank",
+    # Round-4 late additions: hybrid RRF fusion (exercises BOTH shared
+    # retrieval subplans in one job) and fuzzy eval-set decontamination
+    # (the MinHash index's second consumer — its timing shows whether
+    # index sharing actually amortizes).
+    "q_sim_rrf_fusion",
+    "q_decontam_minhash",
 ]
 
 
