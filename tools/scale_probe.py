@@ -63,6 +63,14 @@ PROBE = [
     "q_heavy_hitters",
     "q_sim_hard_negatives",
     "q_pipeline_curation_funnel",
+    # Round-4 resumed-session additions: the fuzzy decontam shares the
+    # MinHash index (its scaling shows the broadcast eval-side join
+    # stays corpus-linear), the drawdown is the calendar-bounded
+    # two-window shape, and common-neighbors is the wedge join whose
+    # degree-bounding is the scale claim under test.
+    "q_decontam_minhash",
+    "q_ts_drawdown",
+    "q_graph_common_neighbors",
 ]
 
 
