@@ -134,3 +134,31 @@ def test_line_dedup_nonvacuous(spark, sf_dir):
         rows = catalog.QUERIES[name](spark, sf_dir).collect()
         removed = sum(r["n_lines"] - r["n_lines_kept"] for r in rows)
         assert removed > 0, f"{name} removed nothing — vacuous verification"
+
+
+def test_merge_delete_branches_nonvacuous(spark, sf_dir):
+    """All three surviving MERGE branches (kept / updated / inserted)
+    must each produce rows, and tombstoned matches must actually
+    delete: the total must be strictly below the distinct
+    (customer, priority) universe. Pins the round-4 de-vacuity fix —
+    the old pre-fixture cutoff made the base snapshot empty and the
+    matched path vacuously green."""
+    rows = catalog.QUERIES["q_merge_delete"](spark, sf_dir).collect()
+    actions = {r["action"] for r in rows}
+    assert actions == {"kept", "updated", "inserted"}, actions
+    universe = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderpriority")
+        .distinct()
+        .count()
+    )
+    assert len(rows) < universe  # some matched pairs were deleted
+
+
+def test_decontam_minhash_flag_both_outcomes(spark, sf_dir):
+    """The fuzzy-contamination flag must materialize BOTH truth values
+    on the fixture (threshold sits inside the candidate jaccard band);
+    an all-true column would hide a reversed comparison."""
+    rows = catalog.QUERIES["q_decontam_minhash"](spark, sf_dir).collect()
+    flags = {r["contaminated_fuzzy"] for r in rows}
+    assert flags == {True, False}, flags
