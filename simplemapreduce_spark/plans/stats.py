@@ -1201,3 +1201,107 @@ def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.sum(cents).cast("long").alias("sum_cents"),
     )
+
+
+@query(
+    "q_jackknife_ratio_se",
+    oracle="""
+    WITH rows_ AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+               AS r_cents,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ), tot AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(r_cents AS HUGEINT)) AS sr,
+             SUM(CAST(q AS HUGEINT)) AS sq
+      FROM rows_ GROUP BY 1
+    ), loo AS (
+      SELECT r.l_returnflag, t.n, t.sr, t.sq,
+             CAST(ROUND(
+               (CAST(t.sr - r.r_cents AS DOUBLE) / CAST(t.sq - r.q AS DOUBLE))
+               * 1000000, 0) AS BIGINT) AS loo6
+      FROM rows_ r JOIN tot t USING (l_returnflag)
+    ), m AS (
+      SELECT l_returnflag,
+             CAST(MAX(n) AS BIGINT) AS n,
+             MAX(sr) AS sr, MAX(sq) AS sq,
+             SUM(CAST(loo6 AS HUGEINT)) AS s1,
+             SUM(CAST(loo6 AS HUGEINT) * loo6) AS s2
+      FROM loo GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           CAST(ROUND(CAST(sr AS DOUBLE) / CAST(sq AS DOUBLE) / 100.0, 6)
+                AS DOUBLE) AS ratio,
+           CAST(ROUND(
+             SQRT((CAST(n AS DOUBLE) - 1) / CAST(n AS DOUBLE)
+                  * (CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE)))
+             / 1000000.0 / 100.0, 6) AS DOUBLE) AS jackknife_se
+    FROM m
+    """,
+)
+def q_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife standard error of the revenue-per-unit RATIO estimator
+    per return flag — resampling-grade uncertainty without RNG. The
+    ratio sum(revenue)/sum(qty) is the canonical NON-linear statistic
+    (for the plain mean the jackknife collapses to s/sqrt(n) and says
+    nothing new; for a ratio it is the standard delta-method-free
+    answer, Efron & Tibshirani ch. 11), and its leave-one-out values
+    need no N recomputes: loo_i = (S_r - r_i)/(S_q - q_i) from the
+    group's sufficient statistics — the algebraic trick that turns a
+    resampling procedure into two linear passes.
+
+    Determinism recipe: revenue is exact integer cents and quantities
+    exact integers, so S_r/S_q are exact; each loo_i is ONE double
+    division, immediately rounded to a 1e-6-scaled BIGINT (the TF-IDF
+    w6 idiom) so the jackknife moment sums accumulate exactly in
+    HUGEINT/decimal(38,0) — never order-sensitive double addition over
+    60k rows. The final sqrt formula is shared text on both engines.
+
+    Scale shape: two hash aggs on the same group key (totals, then
+    moments of the scaled loo values) with a broadcast-sized totals
+    join between them; no window, no sort, state O(groups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("r_cents"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    tot = rows_.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("r_cents")).alias("sr"),
+        F.sum(dec("q")).alias("sq"),
+    )
+    loo6 = F.round(
+        (F.col("sr") - F.col("r_cents")).cast("double")
+        / (F.col("sq") - F.col("q")).cast("double")
+        * 1000000
+    ).cast("long")
+    loo = rows_.join(F.broadcast(tot), "l_returnflag").select(
+        "l_returnflag", "n", "sr", "sq", loo6.alias("loo6")
+    )
+    m = loo.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("sr").alias("sr"),
+        F.max("sq").alias("sq"),
+        F.sum(dec("loo6")).alias("s1"),
+        F.sum(dec("loo6") * dec("loo6")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            F.col("sr").cast("double") / F.col("sq").cast("double") / 100.0, 6
+        ).alias("ratio"),
+        F.round(
+            F.sqrt((nd - 1) / nd * (s2 - s1 * s1 / nd)) / 1000000.0 / 100.0, 6
+        ).alias("jackknife_se"),
+    )
