@@ -159,3 +159,38 @@ def test_bm25_terms_match_fixture_vocabulary(spark, sf_dir):
                 assert score[a] > score[b], (tf, a, b)
                 checked += 1
     assert checked > 0, "no equal-tf doc pairs — length normalization unverified"
+
+
+def test_jackknife_sufficient_statistics_algebra():
+    """The q_jackknife_ratio_se trick — leave-one-out ratios from group
+    sufficient statistics, moments over 1e-6-scaled integers — must
+    agree with a brute-force jackknife (explicitly recompute the ratio
+    N times with one row deleted) on random integer data. Validates
+    the algebra independently of both engines."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    for _ in range(25):
+        n = rng.randint(3, 40)
+        r = [rng.randint(1, 10_000_00) for _ in range(n)]  # cents
+        q = [rng.randint(1, 50) for _ in range(n)]
+        sr, sq = sum(r), sum(q)
+        # brute force: recompute each leave-one-out ratio from scratch
+        loo_brute = [
+            sum(rv for j, rv in enumerate(r) if j != i)
+            / sum(qv for j, qv in enumerate(q) if j != i)
+            for i in range(n)
+        ]
+        # sufficient-statistics form, scaled-integer rounding as in the plan
+        loo6 = [round((sr - r[i]) / (sq - q[i]) * 1_000_000) for i in range(n)]
+        s1, s2 = sum(loo6), sum(v * v for v in loo6)
+        se_plan = math.sqrt((n - 1) / n * (s2 - s1 * s1 / n)) / 1_000_000
+        mean_b = sum(loo_brute) / n
+        se_brute = math.sqrt((n - 1) / n * sum((v - mean_b) ** 2 for v in loo_brute))
+        # the only divergence allowed is the 1e-6 quantization of each loo
+        assert abs(se_plan - se_brute) <= 1e-4 * max(1.0, se_brute), (
+            n,
+            se_plan,
+            se_brute,
+        )
