@@ -191,3 +191,144 @@ def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value_cents")
     )
+
+
+_SESS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("closed_by", T.StringType(), True),
+    ]
+)
+_SESS_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+_SESS_DELAY_US = 30 * 60 * 1_000_000  # watermark delay (= the gap here)
+
+
+@query(
+    "q_stream_sessionize_stateful",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ), s AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(epoch_us(ts)) AS l_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY MIN(ts) DESC) AS rn_last
+      FROM numbered GROUP BY user_id, sess
+    ), mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events)
+    SELECT user_id, session_start, session_end, n_events,
+           CASE WHEN rn_last > 1 THEN 'gap' ELSE 'timeout' END AS closed_by
+    FROM s, mx
+    WHERE rn_last > 1                            -- closed by a later event
+       OR l_us + 1800000000 < m - 1800000000     -- closed by the watermark
+    """,
+)
+def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME STATE EVICTION —
+    the applyInPandasWithState surface q_stream_stateful_counts leaves
+    untested: per-user open-session state carries across micro-batches
+    and is closed two ways, (a) by a later event arriving past the
+    30-minute gap ('gap' — emitted from the update path), or (b) by
+    the watermark passing the session's timeout timestamp ('timeout' —
+    emitted from the hasTimedOut path after state.remove()). Eviction
+    is what makes arbitrary stateful streaming viable at scale: without
+    timeouts, one state entry per ever-seen user lives forever.
+
+    The oracle mirrors BOTH rules exactly: gap sessions are every
+    non-final session of the batch gaps-and-islands decomposition, and
+    a user's final session is emitted iff last_ts + gap < max_ts -
+    delay — the final event-time watermark of the availableNow replay
+    (Spark fires an event-time timeout strictly when the watermark
+    exceeds the set timestamp, pinned empirically; fixture timestamps
+    carry microsecond entropy, so the strict-< boundary cannot
+    collide). Sessions still open at the final watermark are withheld
+    on both sides — the honest append-mode semantics, NOT a flush hack.
+
+    Scale shape: state is one (start, last, n) triple per ACTIVE user
+    (timeouts bound it by the gap, not by history); each batch sorts
+    only its own per-user Arrow slice. The sibling
+    q_stream_session_window gets merging from the built-in
+    session_window; this one owns the state machine, which is what a
+    pipeline needs the moment session state is richer than an
+    aggregate (e.g. carrying the session's first referrer)."""
+    import pandas as pd
+
+    from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS, micros_to_ntz
+    from simplemapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    gap_us = SESSION_GAP_MICROS
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            s, l, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "start_us": [s],
+                    "last_us": [l],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        df = pd.concat(parts).sort_values(["ts", "event_id"])
+        ts_us = (df["ts"].astype("int64") // 1000).tolist()
+        cur = list(state.get) if state.exists else None
+        out = []
+        for t in ts_us:
+            if cur is None:
+                cur = [t, t, 0]
+            elif t - cur[1] > gap_us:
+                out.append((uid, cur[0], cur[1], cur[2], "gap"))
+                cur = [t, t, 0]
+            cur[1] = t
+            cur[2] += 1
+        state.update(tuple(cur))
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "start_us", "last_us", "n_events", "closed_by"],
+            )
+
+    sess = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, _SESS_OUT, _SESS_STATE, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+    out = run_stream_to_table(sess, "append")
+    return out.select(
+        "user_id",
+        micros_to_ntz(F.col("start_us")).alias("session_start"),
+        micros_to_ntz(F.col("last_us")).alias("session_end"),
+        "n_events",
+        "closed_by",
+    )
