@@ -253,6 +253,18 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "q_ts_drawdown",
         "q_preference_pairs",
         "q_graph_common_neighbors",
+        # Late round-4: RRF fuses two independently-ranked lists (rank
+        # ties and the 2-term double sum must not depend on layout);
+        # fuzzy decontam's candidate set comes from a bucket join; the
+        # jackknife moments are scaled-integer sums; merge-delete's
+        # branch tags ride a full-outer join; the stateful sessionizer
+        # carries state across micro-batches whose Arrow slices change
+        # with partitioning.
+        "q_sim_rrf_fusion",
+        "q_decontam_minhash",
+        "q_jackknife_ratio_se",
+        "q_merge_delete",
+        "q_stream_sessionize_stateful",
     ):
         assert run(name, 3) == run(name, 17), name
 
