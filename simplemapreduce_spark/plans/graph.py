@@ -547,3 +547,118 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common_neighbors").desc(), "a", "b")
         .limit(10)
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    rounds = [
+        """alive0 AS (
+      SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e)"""
+    ]
+    for r in range(_KCORE_ROUNDS):
+        rounds.append(
+            f"""deg{r} AS (
+      SELECT a.node, COUNT(*) AS d
+      FROM (SELECT u AS node, v AS nbr FROM e
+            UNION ALL SELECT v, u FROM e) a
+      JOIN alive{r} x ON x.node = a.node
+      JOIN alive{r} y ON y.node = a.nbr
+      GROUP BY 1
+    ), alive{r + 1} AS (
+      SELECT node FROM deg{r} WHERE d >= {_KCORE_K})"""
+        )
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ), {", ".join(rounds)}
+    SELECT 'round_0' AS stage, CAST(COUNT(*) AS BIGINT) AS n_alive,
+           CAST(MIN(node) AS BIGINT) AS min_node FROM alive0
+    {"".join(f'''
+    UNION ALL
+    SELECT 'round_{r + 1}', CAST(COUNT(*) AS BIGINT), CAST(MIN(node) AS BIGINT)
+    FROM alive{r + 1}''' for r in range(_KCORE_ROUNDS))}
+    """
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-core peeling on the co-purchase graph, {R} fixed rounds:
+    repeatedly drop nodes whose degree IN THE SURVIVING SUBGRAPH falls
+    below {K} — the degeneracy decomposition behind community cores,
+    influence pruning, and "dense part of the graph" preprocessing.
+    Third member of the unrolled-iteration family (PageRank's damped
+    walk, Bellman-Ford's relaxations): peeling is the pattern where
+    each round CHANGES THE GRAPH the next round sees (induced-subgraph
+    degrees), which no single aggregation expresses. Fixed round count
+    keeps it bit-reproducible; the oracle unrolls the identical rounds
+    as chained CTEs, and the per-round (survivor count, min node)
+    trace pins every intermediate state, not just the fixed point.
+
+    Scale shape: each round is one hash agg over the edge table
+    semi-joined to the previous survivor set — O(|E|) per round, the
+    exact shape of the SSSP relaxation; survivor sets are node-sized
+    (broadcastable when small, AQE decides). All exact integers."""
+    from simplemapreduce_spark.cache import memo_persist, table_stamp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = memo_persist(
+        li.select("l_orderkey", "l_partkey").distinct(),
+        f"basket.order_parts:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
+    )
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = F.expr(
+        "explode(flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v)))))"
+    )
+    e = memo_persist(
+        baskets.select(pair_expr.alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("u", "v"),
+        f"graph.copurchase_edges:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    alive = adj.select("node").distinct()
+    stages = [("round_0", alive)]
+    for r in range(_KCORE_ROUNDS):
+        x = alive.select(F.col("node"))
+        y = alive.select(F.col("node").alias("nbr"))
+        deg = (
+            adj.join(x, "node")
+            .join(y, "nbr")
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        stages.append((f"round_{r + 1}", alive))
+    reports = [
+        a.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_alive"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        for name, a in stages
+    ]
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionAll(rep)
+    return out
+
+
+q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(K=_KCORE_K, R=_KCORE_ROUNDS)
