@@ -1938,3 +1938,93 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_sim_rrf_fusion.__doc__ = q_sim_rrf_fusion.__doc__.format(D=_RRF_DEPTH, K=_RRF_K)
+
+
+@query(
+    "q_embedding_drift",
+    oracle="""
+    WITH comp AS (
+      SELECT label, vec_id % 2 AS half,
+             unnest(range(len(embedding))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ), m AS (
+      SELECT label, dim,
+             CAST(ROUND(AVG(x) FILTER (WHERE half = 0), 6) AS DOUBLE) AS m0,
+             CAST(ROUND(AVG(x) FILTER (WHERE half = 1), 6) AS DOUBLE) AS m1,
+             COUNT(*) FILTER (WHERE half = 0) AS c0,
+             COUNT(*) FILTER (WHERE half = 1) AS c1
+      FROM comp GROUP BY 1, 2
+    ), d AS (
+      SELECT label, dim, c0, c1,
+             CAST(ROUND((m0 - m1) * 1000000, 0) AS BIGINT) AS d6
+      FROM m
+    )
+    SELECT label,
+           CAST(MAX(c0) AS BIGINT) AS n_first_half,
+           CAST(MAX(c1) AS BIGINT) AS n_second_half,
+           CAST(ROUND(SQRT(CAST(SUM(CAST(d6 AS HUGEINT) * d6) AS DOUBLE))
+                      / 1000000.0, 6) AS DOUBLE) AS l2_shift,
+           CAST(first(dim ORDER BY abs(d6) DESC, dim) AS INTEGER)
+             AS top_drift_dim
+    FROM d GROUP BY label
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the L2 distance
+    between the centroid of the first corpus half and the second
+    (vec_id parity stands in for the before/after snapshot key), plus
+    the dimension drifting hardest — the train/serve-skew check an
+    embedding pipeline runs per model rollout. Complements
+    q_drift_psi, which sees scalar histograms; distribution shift in
+    a vector space shows up first as centroid displacement.
+
+    Determinism: per-(label, dim, half) means use the centroids
+    recipe (AVG + round(6) — identical double on both engines), then
+    every downstream step leaves the float domain: the per-dim delta
+    becomes a 1e-6-scaled BIGINT, the squared sum accumulates exactly
+    in 128-bit, and one shared sqrt renders the distance. Top dim is
+    an ordered-set pick with a total (|d6| DESC, dim) order.
+
+    Scale shape: one explode of the vector column (rows x dims — the
+    unavoidable reshape), a single partial/final hash agg to (label,
+    dim) with FILTER-ed branches for the halves, then a |labels|-sized
+    rollup. No joins, no windows over the corpus."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    comp = v.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("e").alias("dim", "x"),
+    )
+    m = comp.groupBy("label", "dim").agg(
+        F.round(F.avg(F.when(F.col("half") == 0, F.col("x"))), 6).alias("m0"),
+        F.round(F.avg(F.when(F.col("half") == 1, F.col("x"))), 6).alias("m1"),
+        F.count(F.when(F.col("half") == 0, F.lit(1))).alias("c0"),
+        F.count(F.when(F.col("half") == 1, F.lit(1))).alias("c1"),
+    )
+    d6 = F.round((F.col("m0") - F.col("m1")) * 1000000).cast("long")
+    d = m.select("label", "dim", "c0", "c1", d6.alias("d6"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    top = F.max(
+        F.struct(F.abs(F.col("d6")).alias("a"), (-F.col("dim")).alias("nd"))
+    ).alias("top")
+    return (
+        d.groupBy("label")
+        .agg(
+            F.max("c0").cast("long").alias("n_first_half"),
+            F.max("c1").cast("long").alias("n_second_half"),
+            F.sum(dec("d6") * dec("d6")).alias("ss"),
+            top,
+        )
+        .select(
+            "label",
+            "n_first_half",
+            "n_second_half",
+            F.round(F.sqrt(F.col("ss").cast("double")) / 1000000.0, 6).alias(
+                "l2_shift"
+            ),
+            (-F.col("top.nd")).cast("int").alias("top_drift_dim"),
+        )
+    )
