@@ -331,3 +331,115 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev_cents).cast("long").alias("revenue_cents"),
         )
     )
+
+
+_GRID_QX = 8  # grid cell width on the quantity axis
+_GRID_PY = 20000  # grid cell height on the price axis (dollars)
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle=f"""
+    WITH rects AS (
+      SELECT i AS rect_id,
+             (i % 6) * 8 + 1 + CASE WHEN i >= 24 THEN 60 ELSE 0 END AS q_lo,
+             (i % 6) * 8 + 13 + CASE WHEN i >= 24 THEN 60 ELSE 0 END AS q_hi,
+             (i // 6) * 20000 + 500 AS p_lo, (i // 6) * 20000 + 30500 AS p_hi
+      FROM (SELECT unnest(range(26)) AS i)
+    ), pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x, l_extendedprice AS y,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT r.rect_id,
+           CAST(COUNT(p.x) AS BIGINT) AS n_points,
+           CAST(COALESCE(SUM(p.cents), 0) AS BIGINT) AS sum_cents
+    FROM rects r
+    LEFT JOIN pts p
+      ON p.x >= r.q_lo AND p.x < r.q_hi
+     AND p.y >= r.p_lo AND p.y < r.p_hi
+    GROUP BY 1
+    """,
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 2-D containment join (points-in-rectangles) by GRID
+    BINNING — the spatial-join shape (GeoSpark/Sedona's partitioning
+    idea, same algebra as q_join_range_binned in one dimension more):
+    each rectangle expands ROW-LOCALLY to the grid cells it covers,
+    each point maps to exactly one cell, candidates come from an
+    equi-join on the cell coordinate pair, and an exact containment
+    filter refines. The oracle runs the naive theta join — at fixture
+    scale the two must agree bit-for-bit; at 100 TB only the grid
+    form survives (the theta join is |points| x |rects| with no hash
+    key; the grid join touches each point once per covering cell of
+    its OWN cell's rectangles — candidate work proportional to
+    overlap density, not to the cross product).
+
+    26 query rectangles derive from a deterministic range() formula
+    (identical text on both engines): 24 overlapping in-range boxes
+    plus two shifted past the quantity domain, so the left join's
+    zero-count empty-box branch is exercised non-vacuously, and points inside multiple
+    overlapping boxes count once per box (multiset semantics pinned).
+    Exact integer cents; half-open [lo, hi) bounds on both axes avoid
+    double-counting grid-aligned edges."""
+    off = F.when(F.col("id") >= 24, F.lit(60)).otherwise(F.lit(0))
+    rects = spark.range(26).select(
+        F.col("id").cast("int").alias("rect_id"),
+        ((F.col("id") % 6) * 8 + 1 + off).cast("long").alias("q_lo"),
+        ((F.col("id") % 6) * 8 + 13 + off).cast("long").alias("q_hi"),
+        ((F.col("id") / 6).cast("long") * 20000 + 500).alias("p_lo"),
+        ((F.col("id") / 6).cast("long") * 20000 + 30500).alias("p_hi"),
+    )
+    # Row-local cell cover: every (cx, cy) grid cell the rectangle
+    # touches. Half-open bounds: hi-edge cell included only when the
+    # rectangle extends past the cell's lower edge.
+    cover = rects.select(
+        "rect_id",
+        "q_lo",
+        "q_hi",
+        "p_lo",
+        "p_hi",
+        F.explode(
+            F.expr(f"sequence(q_lo div {_GRID_QX}, (q_hi - 1) div {_GRID_QX})")
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr(f"sequence(p_lo div {_GRID_PY}, CAST((p_hi - 1) div {_GRID_PY} AS BIGINT))")
+        ).alias("cy"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).select(
+        "x",
+        "y",
+        "cents",
+        (F.col("x") / _GRID_QX).cast("long").alias("cx"),
+        (F.col("y") / _GRID_PY).cast("long").alias("cy"),
+    )
+    hits = (
+        pts.join(F.broadcast(cover), ["cx", "cy"])
+        .filter(
+            (F.col("x") >= F.col("q_lo"))
+            & (F.col("x") < F.col("q_hi"))
+            & (F.col("y") >= F.col("p_lo"))
+            & (F.col("y") < F.col("p_hi"))
+        )
+        .groupBy("rect_id")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    return (
+        rects.select("rect_id")
+        .join(hits, "rect_id", "left")
+        .select(
+            "rect_id",
+            F.coalesce("n_points", F.lit(0)).cast("long").alias("n_points"),
+            F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents"),
+        )
+    )
