@@ -662,3 +662,57 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(K=_KCORE_K, R=_KCORE_ROUNDS)
+
+
+_HIER_SQL = """
+    WITH RECURSIVE sub(root, node) AS (
+      SELECT p_partkey AS root, p_partkey AS node
+      FROM part WHERE p_partkey < 8
+      UNION ALL
+      SELECT s.root, c.p_partkey AS node
+      FROM sub s JOIN part c
+        ON floor(c.p_partkey / 2) = s.node AND c.p_partkey >= 2
+    ), rev AS (
+      SELECT l_partkey AS node,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s.root,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_in_subtree,
+           CAST(COALESCE(SUM(r.cents), 0) AS BIGINT) AS subtree_revenue_cents,
+           CAST(COALESCE(SUM(r.n_lines), 0) AS BIGINT) AS subtree_lines
+    FROM sub s LEFT JOIN rev r ON r.node = s.node
+    GROUP BY s.root
+"""
+
+
+@query("q_recursive_hierarchy_rollup", oracle=_HIER_SQL)
+def q_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical AGGREGATION through a recursive CTE — the
+    bill-of-materials rollup (total revenue of every part in a
+    component's entire subtree), the second canonical recursive-SQL
+    workload next to q_recursive_cte_reachability's transitive
+    closure: reachability asks WHICH nodes, this asks a SUM over the
+    closure, exercising recursion composed with join + aggregate
+    above it. The hierarchy derives from the part keys themselves
+    (parent = floor(key / 2) — a binary tree over the existing rows;
+    the fixture has no parent column, the derived one is
+    deterministic and engine-identical), roots are the 8 lowest keys,
+    and each child attaches to exactly one parent. floor() is spelled
+    explicitly because bare `/` is FLOAT division on BOTH engines —
+    without it, odd children silently never match their parent and
+    the "tree" degenerates to halving chains (caught during build:
+    both engines agreed on the degenerate result, so only semantic
+    review — not the oracle — could see it). IDENTICAL SQL text on
+    both engines.
+
+    Scale shape: the recursion's frontier doubles per level but every
+    step is an equi-join of the frontier against the part table on
+    the derived parent key (pushable, broadcastable frontier); the
+    revenue table is one partial/final hash agg of the fact table,
+    joined once to the flattened closure. Exact integer cents."""
+    for t in ("part", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_HIER_SQL)
