@@ -265,6 +265,14 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "q_jackknife_ratio_se",
         "q_merge_delete",
         "q_stream_sessionize_stateful",
+        # Closing batch: the spatial grid's candidate set comes from a
+        # broadcast cell join; k-core recomputes induced degrees per
+        # round; the hierarchy rollup recurses joins over a frontier;
+        # drift's argmax dim is a struct-extreme tie-break.
+        "q_join_spatial_grid",
+        "q_graph_kcore",
+        "q_recursive_hierarchy_rollup",
+        "q_embedding_drift",
     ):
         assert run(name, 3) == run(name, 17), name
 
