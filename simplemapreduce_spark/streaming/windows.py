@@ -65,6 +65,23 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplemapreduce_spark.functions.time import micros_to_ntz
     from simplemapreduce_spark.sources.tables import load_table
 
+    import os
+
+    # Layout-aware source: the driver fixtures store events as a single
+    # FILE (streaming's basePath must be a directory, hence parent dir
+    # + pathGlobFilter), but any produced dataset — a partitioned
+    # write, the scale-probe replica — is a DIRECTORY of part files,
+    # which the glob on leaf names would silently match as ZERO files
+    # (caught when the 10x probe streamed 0 rows). Branch on the
+    # actual layout so both read the same rows their batch twin sees.
+    events_path = os.path.join(sf_dir, "events.parquet")
+
+    def reader(schema):
+        r = spark.readStream.schema(schema)
+        if os.path.isdir(events_path):
+            return r.parquet(events_path)
+        return r.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+
     batch_dtypes = dict(load_table(spark, sf_dir, "events").dtypes)
     if batch_dtypes.get("ts") == "bigint":  # TIMESTAMP(NANOS) fixture
         schema = T.StructType(
@@ -73,18 +90,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for f in EVENTS_RAW_SCHEMA.fields
             ]
         )
-        raw = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        raw = raw.withColumn("ts", micros_to_ntz(F.expr("ts div 1000")))
+        raw = reader(schema).withColumn("ts", micros_to_ntz(F.expr("ts div 1000")))
     else:
-        raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = reader(EVENTS_RAW_SCHEMA)
     return raw.withColumn("ts", ntz_as_event_time("ts"))
 
 
