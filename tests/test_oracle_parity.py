@@ -25,3 +25,20 @@ def test_all_queries_run(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(5).collect()
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SMR_FULL_SWEEP"),
+    reason="opt-in: SMR_FULL_SWEEP=1 replays every oracle at sf0.01 (driver scale)",
+)
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity_sf001(spark, name):
+    """Opt-in full sweep at the DRIVER'S scale factor (sf0.01) — the
+    default suite runs sf0.001 for speed, but distribution-dependent
+    branches (thresholds, bucket densities, watermark horizons) can
+    differ between the two; this replays the exact gate the driver
+    will run. Usage: SMR_FULL_SWEEP=1 python -m pytest tests/test_oracle_parity.py -k sf001
+    (about 15 min; tools/driver_sim.py is the module-by-path variant)."""
+    compare_query(
+        spark, catalog.QUERIES[name], catalog.ORACLES[name], "/root/testdata/sf0.01"
+    )
