@@ -927,3 +927,43 @@ def q_scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_to_close"),
     )
+
+
+@query(
+    "q_scalar_binary_codec",
+    oracle="""
+    SELECT doc_id,
+           lower(hex(substr(text, 1, 12))) AS hex12,
+           to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS b64_12,
+           sha256(text) AS sha256_hex,
+           md5(text) AS md5_hex,
+           CAST(unhex(lower(hex(substr(text, 1, 12)))) AS VARCHAR)
+             AS hex_roundtrip,
+           octet_length(CAST(text AS BLOB)) AS n_bytes
+    FROM documents
+    """,
+)
+def q_scalar_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec + cryptographic-hash scalar family: hex/unhex
+    round-trip, base64, SHA-256, MD5, and byte length — the
+    fingerprinting toolbox every content-addressed pipeline leans on
+    (the dedup stack uses md5 internally; this pins the full codec
+    surface as user-facing functions). Case contract made explicit:
+    Spark hex() emits uppercase and DuckDB lowercase, so the portable
+    spelling is lower(hex(..)) — exactly the off-by-case trap a
+    cross-engine port hits; digests (sha2/md5) are lowercase on both.
+    The text fixture is ASCII, so byte length equals char length and
+    the BLOB casts are loss-free on both engines.
+
+    Row-local projection, zero shuffles — a pure map stage."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, 12)
+    return d.select(
+        "doc_id",
+        F.lower(F.hex(prefix)).alias("hex12"),
+        F.base64(prefix.cast("binary")).alias("b64_12"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.unhex(F.lower(F.hex(prefix))).cast("string").alias("hex_roundtrip"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
