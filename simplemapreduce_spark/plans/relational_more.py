@@ -753,3 +753,52 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("trimmed_mean_price"),
     )
+
+
+@query(
+    "q_agg_geomean",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(ROUND(ln(1 - l_discount) * 1000000000, 0) AS BIGINT) AS ln9
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(exp(CAST(SUM(CAST(ln9 AS HUGEINT)) AS DOUBLE)
+                          / 1000000000.0 / COUNT(*)), 6) AS DOUBLE)
+             AS geomean_keep_ratio
+    FROM v GROUP BY 1
+    """,
+)
+def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of the per-line discount keep-ratio (1 - disc)
+    per return flag — the multiplicative average (compound rate over
+    the order book) arithmetic means overstate; neither engine ships
+    a geomean, so this pins the portable exp(mean(ln)) construction.
+
+    Determinism recipe: a raw SUM(ln(x)) would accumulate doubles in
+    shuffle order AND inherit cross-engine libm differences; instead
+    each ln is rounded to a 1e-9-scaled BIGINT row-locally (a 1-ulp
+    libm difference on ln of an exact input is ~1e-17 — five orders
+    below the rounding threshold at this scale, so both engines
+    produce the SAME integer), the sum is exact in 128-bit, and one
+    shared exp + round(6) renders the mean. Same w6/loo6 idiom as
+    TF-IDF and the jackknife, applied to the log domain.
+
+    Scale shape: single partial/final hash agg, constant state per
+    group; the ln is row-local JVM codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ln9 = F.round(F.log(1 - F.col("l_discount")) * 1_000_000_000).cast("long")
+    v = li.select("l_returnflag", ln9.alias("ln9"))
+    return v.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.exp(
+                F.sum(F.col("ln9").cast("decimal(28,0)")).cast("double")
+                / 1_000_000_000.0
+                / F.count("*")
+            ),
+            6,
+        ).alias("geomean_keep_ratio"),
+    )
