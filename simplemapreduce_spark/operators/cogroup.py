@@ -30,7 +30,7 @@ _RECON_SCHEMA = T.StructType(
         T.StructField("n_events", T.LongType(), True),
         T.StructField("n_orders", T.LongType(), True),
         T.StructField("spend_cents", T.LongType(), True),
-        T.StructField("active_before_first_order", T.BooleanType(), True),
+        T.StructField("event_season_before_order_season", T.BooleanType(), True),
     ]
 )
 
@@ -52,7 +52,8 @@ _RECON_SCHEMA = T.StructType(
            COALESCE(o.n_orders, 0) AS n_orders,
            COALESCE(o.spend_cents, 0) AS spend_cents,
            CASE WHEN e.first_event IS NULL OR o.first_order IS NULL THEN FALSE
-                ELSE e.first_event < o.first_order END AS active_before_first_order
+                ELSE dayofyear(e.first_event) < dayofyear(o.first_order)
+                END AS event_season_before_order_season
     FROM e FULL OUTER JOIN o ON o.custkey = e.custkey
     """,
 )
@@ -60,9 +61,14 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer reconciliation of two record streams (events and
     orders) via cogroup: the user function sees BOTH per-key sets at
     once and emits one reconciled row — counts from each side, spend
-    in integer cents, and a cross-set predicate (was the customer
-    active before their first order?) that needs values from both sets
-    in one place. The oracle recomputes it relationally (two
+    in integer cents, and a cross-set predicate that needs values
+    from both sets in one place: does the customer's first EVENT fall
+    earlier in the calendar year than their first ORDER (a seasonal
+    comparison — the fixture's event and order clocks live in
+    different years, so the round-4 vacuity audit showed the original
+    absolute-time comparison was constant False; day-of-year is the
+    comparison that actually varies on this data, ~50/50 across the
+    overlap users and guarded False when either side is absent). The oracle recomputes it relationally (two
     aggregates + full outer join), pinning the cogroup path to the
     declarative answer."""
     import pandas as pd
@@ -86,7 +92,9 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_orders = len(od)
         cents = cents_i64(od["o_totalprice"].to_numpy())
         active_before = bool(
-            n_events and n_orders and ev["ts"].min() < od["o_orderdate"].min()
+            n_events
+            and n_orders
+            and ev["ts"].min().dayofyear < od["o_orderdate"].min().dayofyear
         )
         return pd.DataFrame(
             {
@@ -94,7 +102,7 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events": [n_events],
                 "n_orders": [n_orders],
                 "spend_cents": [cents],
-                "active_before_first_order": [active_before],
+                "event_season_before_order_season": [active_before],
             }
         )
 

@@ -264,7 +264,7 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT strftime(date_trunc('month', o_orderdate), '%Y-%m')
                AS ship_month
       FROM orders
-      WHERE year(o_orderdate) = 1992 AND o_orderpriority = '1-URGENT'
+      WHERE year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'
     ), fact AS (
       SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
              CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
@@ -282,7 +282,10 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning: the fact table is laid out
     Hive-partitioned by ship month (written once per sf to scratch,
     reused across calls), and the join against a SELECTIVE derived
-    dimension (urgent-order months of 1992) lets Spark inject a
+    dimension (urgent-order months of 1996 — inside the fixture's
+    1995-2001 span; the round-4 vacuity audit caught the original
+    1992 predicate matching nothing, which made the whole join
+    0 = 0 trivially green) lets Spark inject a
     runtime `dynamicpruning` subquery into the fact scan — only the
     matching month directories are read. At 100 TB this is the
     difference between scanning 12/84 months and scanning everything:
@@ -314,7 +317,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     dim = (
         o.filter(
-            (F.year("o_orderdate") == 1992)
+            (F.year("o_orderdate") == 1996)
             & (F.col("o_orderpriority") == "1-URGENT")
         )
         .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))

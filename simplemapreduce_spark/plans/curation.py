@@ -509,7 +509,7 @@ def q_curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH raw AS (
       SELECT doc_id,
-             CASE doc_id % 4
+             CASE (doc_id // 60) % 4
                WHEN 0 THEN 'https://site' || CAST(doc_id % 30 AS VARCHAR)
                            || '.example/page' || CAST(doc_id % 12 AS VARCHAR)
                WHEN 1 THEN 'https://WWW.Site' || CAST(doc_id % 30 AS VARCHAR)
@@ -550,7 +550,13 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically derives one of four messy variants of a shared
     target (same injected-string proof strategy as q_text_url_extract
     / q_text_pii_redact: both engines build and canonicalize identical
-    strings, so the normalization chain is verified end-to-end).
+    strings, so the normalization chain is verified end-to-end). The
+    variant selector is the COPY INDEX within the canonical class,
+    (doc_id // 60) % 4 — round 4 fix: the original doc_id % 4 was
+    CONSTANT inside every mod-60 class (4 divides 60), so no canonical
+    key ever collapsed two raw forms and the query returned zero rows
+    at every SF — vacuously green since it was added. Caught by the
+    round-4 all-boolean/empty-output audit.
 
     Canonicalization: strip query+fragment, lowercase, drop the www.
     host prefix, drop the trailing slash — each a row-local regexp (on
@@ -560,12 +566,13 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     k = (F.col("doc_id") % 30).cast("string")
     pg = (F.col("doc_id") % 12).cast("string")
+    variant = (F.col("doc_id") / 60).cast("long") % 4
     url = (
-        F.when(F.col("doc_id") % 4 == 0,
+        F.when(variant == 0,
                F.concat(F.lit("https://site"), k, F.lit(".example/page"), pg))
-        .when(F.col("doc_id") % 4 == 1,
+        .when(variant == 1,
               F.concat(F.lit("https://WWW.Site"), k, F.lit(".EXAMPLE/page"), pg, F.lit("/")))
-        .when(F.col("doc_id") % 4 == 2,
+        .when(variant == 2,
               F.concat(F.lit("https://site"), k, F.lit(".example/page"), pg,
                        F.lit("?utm_source=feed&ref=2")))
         .otherwise(

@@ -459,14 +459,26 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join ≡ NOT EXISTS."""
+    """Left-anti join ≡ NOT EXISTS: customers who never placed an
+    URGENT order. Round 4 fix: the original probe ("customers with no
+    orders at all") matched ZERO rows at every SF — the generator
+    gives every customer at least one order — so the anti join was
+    vacuously green from round 1 (an inner-join bug would have passed
+    identically). The priority filter leaves real survivors (18 at
+    sf0.001, 203 at sf0.01) while keeping the same plan shape, and the
+    filter sits on the anti side — pushed below the join."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
 
 
 @query(

@@ -852,7 +852,7 @@ def q_scalar_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER)
              AS n_words,
            regexp_replace(substr(text, 1, 40), '\s+', '_', 'g') AS squeezed,
-           regexp_matches(text, '[0-9]') AS has_digit
+           regexp_matches(text, '^[a-m]') AS starts_a_to_m
     FROM documents
     """,
 )
@@ -861,7 +861,10 @@ def q_scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (regexp_extract), match enumeration (regexp_extract_all + size),
     global substitution (regexp_replace — Spark replaces all
     occurrences natively; the DuckDB twin needs the explicit 'g'
-    option), and boolean match (rlike / regexp_matches). Siblings
+    option), and boolean match (rlike / regexp_matches — anchored class, chosen
+    because the fixture text contains no digits: a digit test was
+    constant False, the round-4 vacuity audit's exact trap; the
+    first-letter split varies at every SF). Siblings
     q_text_url_extract / q_text_token_count_regex use regexps inside
     larger pipelines; this query pins the per-function semantics
     contract itself — return '' on no match, leftmost-longest runs,
@@ -879,7 +882,7 @@ def q_scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("regexp_extract_all(text, '[aeiou]+', 0)")).alias("n_vowel_runs"),
         F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("n_words"),
         F.regexp_replace(F.substring("text", 1, 40), r"\s+", "_").alias("squeezed"),
-        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.col("text").rlike("^[a-m]").alias("starts_a_to_m"),
     )
 
 

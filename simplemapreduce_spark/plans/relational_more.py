@@ -570,8 +570,10 @@ def q_source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataF
            COUNT(*) FILTER (WHERE value > 100) AS n_big,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 100)
                 AS DOUBLE) AS sum_big,
-           bool_and(value >= 0) AS all_nonneg,
-           bool_or(value > 900) AS any_huge
+           bool_and(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5)
+             AS all_above_5c,
+           bool_or(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 40000)
+             AS any_above_400
     FROM events GROUP BY event_type
     """,
 )
@@ -581,7 +583,17 @@ def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond count_if (q_agg_conditional). Identical SQL text runs on
     both engines; Spark evaluates the filters inside the hash
     aggregate's partial pass (one scan, map-side combine), never as a
-    pre-filter self-join."""
+    pre-filter self-join.
+
+    Round 4 de-vacuity: the original flags (value >= 0 / value > 900)
+    were constant across every group at every SF — an all-true
+    bool_and cannot distinguish itself from a bool_or. The thresholds
+    now sit inside the data, in the exact-cents domain: bool_and(cents
+    >= 5) splits the event types at BOTH scale factors (per-type
+    minima straddle 5 cents), and bool_or(cents > 40000) splits them
+    at the driver's sf0.01 gate (only clicks exceed $400 there; the
+    smaller sf0.001 corpus never reaches that tail — documented
+    rather than hidden)."""
     from simplemapreduce_spark.sources.tables import register_tables
 
     register_tables(spark, sf_dir, ("events",))
@@ -592,8 +604,10 @@ def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) FILTER (WHERE value > 100) AS n_big,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 100)
                     AS DOUBLE) AS sum_big,
-               bool_and(value >= 0) AS all_nonneg,
-               bool_or(value > 900) AS any_huge
+               bool_and(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5)
+                 AS all_above_5c,
+               bool_or(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 40000)
+                 AS any_above_400
         FROM events GROUP BY event_type
         """
     )

@@ -91,7 +91,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q7_volume_shipping",
     oracle="""
-    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    SELECT CASE WHEN n1.n_nationkey < 13 THEN 'LOW' ELSE 'HIGH' END AS supp_bloc,
+           CASE WHEN n2.n_nationkey < 13 THEN 'LOW' ELSE 'HIGH' END AS cust_bloc,
            CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
     FROM supplier
@@ -100,18 +101,24 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    WHERE ((n1.n_nationkey < 13 AND n2.n_nationkey >= 13)
+        OR (n1.n_nationkey >= 13 AND n2.n_nationkey < 13))
       AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-    GROUP BY supp_nation, cust_nation, l_year
-    ORDER BY supp_nation, cust_nation, l_year
+    GROUP BY supp_bloc, cust_bloc, l_year
+    ORDER BY supp_bloc, cust_bloc, l_year
     """,
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: bidirectional nation-pair revenue by ship year. The
-    two nation dims broadcast; the disjunctive pair predicate runs
-    after the joins (4 rows × 4 rows — negligible), so the big tables
-    still join on pure equi keys (shuffle hash/SMJ-able)."""
+    """TPC-H Q7 shape: bidirectional cross-BLOC revenue by ship year
+    (suppliers in low-key nations shipping to customers in high-key
+    nations, and the reverse). Q7's literal two-nation pair is
+    unpopulated at sf0.001 — 10 suppliers over 25 nations leave most
+    nations supplier-less, so the round-4 vacuity audit found the
+    query EMPTY at the local suite's SF (driver sf0.01 was fine);
+    nation blocs keep the bidirectional disjunctive-pair shape while
+    guaranteeing both directions exist at every SF. The two nation
+    dims broadcast; the disjunction runs after the joins, so the big
+    tables still join on pure equi keys (shuffle hash/SMJ-able)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1998-01-01"))
@@ -119,16 +126,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
+    bloc = lambda key: F.when(F.col(key) < 13, "LOW").otherwise("HIGH")
     n1 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        F.col("n_nationkey").alias("n1_key"), bloc("n_nationkey").alias("supp_bloc")
     )
     n2 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        F.col("n_nationkey").alias("n2_key"), bloc("n_nationkey").alias("cust_bloc")
     )
-    pair = (
-        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    )
+    pair = F.col("supp_bloc") != F.col("cust_bloc")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -136,13 +141,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_bloc", "cust_bloc", F.year("l_shipdate").alias("l_year"))
         .agg(
             F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
             .cast("double")
             .alias("revenue")
         )
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .orderBy("supp_bloc", "cust_bloc", "l_year")
     )
 
 
@@ -835,26 +840,36 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_7'
+      WHERE n_nationkey < 13
       GROUP BY l_partkey)
     SELECT l_partkey AS p_partkey, CAST(units AS DOUBLE) / 10000 AS part_value
     FROM v
-    WHERE units * 800 > (SELECT SUM(units) FROM v)
+    WHERE units * (SELECT COUNT(*) FROM v) > (SELECT SUM(units) FROM v)
     ORDER BY part_value DESC, p_partkey
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part discounted value shipped by one
-    nation's suppliers, kept only when above a fixed fraction
-    (0.125 %) of that nation's total. Adapted: value comes from
-    lineitem (no partsupp); the threshold compare happens in the
-    exact integer-unit domain (units*800 > total) so both engines
-    agree bit-for-bit at the boundary. Plan: the 4-supplier dim
+    nation GROUP's suppliers (nations 0-12 — Q11's single-nation
+    filter left ZERO suppliers at sf0.001, where 10 suppliers spread
+    over 25 nations: the round-4 vacuity audit found the query
+    empty-and-trivially-green at the local suite's SF; a half-key
+    group is populated at every SF), kept only when the part's value
+    exceeds the MEAN part value of the group. Q11's fixed fraction is
+    scale-dependent by design (the spec divides it by SF; a fixed
+    0.125 % kept everything at sf0.001 and NOTHING at sf0.01 — both
+    vacuous states, caught by the round-4 audit; 2x-mean also empties
+    at sf0.01, where per-part sums concentrate and no part doubles
+    the mean) — strictly-above-mean is the threshold that provably
+    splits the set at ANY scale unless every part ties. Adapted: value comes from lineitem (no partsupp);
+    the compare happens in the exact integer-unit domain
+    (units * n_parts > 2 * total) so both engines agree bit-for-bit
+    at the boundary. Plan: the 4-supplier dim
     broadcasts into the fact scan, one partial/final hash agg on
     l_partkey, and the grand total re-aggregates THE SAME agg output
     (tiny) and broadcasts back as a 1-row cross join — the fact table
     is scanned once."""
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
     s = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
@@ -867,10 +882,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(unit).alias("units"))
     )
-    total = v.agg(F.sum("units").alias("total_units"))
+    total = v.agg(
+        F.sum("units").alias("total_units"), F.count("*").alias("n_parts")
+    )
     return (
         v.crossJoin(F.broadcast(total))
-        .filter(F.col("units") * 800 > F.col("total_units"))
+        .filter(F.col("units") * F.col("n_parts") > F.col("total_units"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             (F.col("units").cast("double") / 10000).alias("part_value"),
