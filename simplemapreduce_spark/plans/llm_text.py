@@ -201,21 +201,27 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish_tokens,
-           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
+           len(regexp_extract_all(text, '[aeiou]{2,}')) AS n_vowel_cluster_tokens
     FROM documents
     """,
 )
 def q_text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting via a pre-tokenizer regex (letters runs /
+    """BPE-ish token counting via a pre-tokenizer regex (letter runs /
     digit runs / single punctuation) — the cheap proxy for LLM token
-    budgeting at corpus scale."""
+    budgeting at corpus scale. The secondary class counter tracks
+    multi-vowel clusters rather than digit runs: the fixture text
+    contains no digits, so a digit counter was constant 0 (round-4
+    vacuity audit) — vowel clusters vary per document while testing
+    the same quantified-class regexp path."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast(
             "long"
         ).alias("n_bpe_ish_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).cast("long").alias("n_number_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[aeiou]{2,}"), 0))
+        .cast("long")
+        .alias("n_vowel_cluster_tokens"),
     )
 
 

@@ -58,6 +58,44 @@ _SQL_PROFILE_RENDER = {
 }
 
 
+# Deterministic corruption layered over the clean fixture so every
+# rule counts >0 violations at every scale factor (non-vacuous
+# verification). Residue moduli are primes so the corrupted subsets
+# barely overlap.
+_SQL_CORRUPT_BASE = """
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 103 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate
+  FROM orders
+"""
+
+_SQL_CORRUPT_ORDERS = f"""
+  SELECT * FROM ({_SQL_CORRUPT_BASE})
+  UNION ALL
+  SELECT * FROM ({_SQL_CORRUPT_BASE}) WHERE o_orderkey % 499 = 0
+"""
+
+_SQL_CORRUPT_LINEITEM = """
+  SELECT CASE WHEN l_orderkey % 997 = 0 THEN l_orderkey + 50000000
+              ELSE l_orderkey END AS l_orderkey
+  FROM lineitem
+"""
+
+
+def _corrupt_orders(o: DataFrame) -> DataFrame:
+    k = F.col("o_orderkey")
+    corrupted = o.select(
+        k,
+        F.col("o_custkey"),
+        F.col("o_orderpriority"),
+        F.when(k % 97 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(k % 101 == 0, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(k % 103 == 0, F.lit(None).cast("timestamp_ntz")).otherwise(F.col("o_orderdate")).alias("o_orderdate"),
+    )
+    return corrupted.unionAll(corrupted.filter(k % 499 == 0))
+
+
 def _profile_oracle() -> str:
     parts = []
     for c, render in _SQL_PROFILE_RENDER.items():
@@ -67,16 +105,21 @@ def _profile_oracle() -> str:
                COUNT(DISTINCT {c}) AS n_distinct,
                {render.format(v=f"MIN({c})")} AS min_value,
                {render.format(v=f"MAX({c})")} AS max_value
-        FROM orders"""
+        FROM ({_SQL_CORRUPT_ORDERS}) co"""
         )
     return "\nUNION ALL\n".join(parts)
 
 
 @query("q_profile_columns", oracle=_profile_oracle())
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column profile of ``orders`` — null count, distinct count,
-    min/max — in ONE aggregate pass over the table, then a row-local
-    unpivot of the single result row into the per-column report.
+    """Per-column profile — null count, distinct count, min/max — in
+    ONE aggregate pass over the table, then a row-local unpivot of the
+    single result row into the per-column report. Profiles the
+    module's deterministically CORRUPTED orders view (the same one the
+    constraint audit checks): the clean fixture has zero NULLs
+    anywhere, so profiling it left the null-counting path untested
+    (round-4 audit — n_nulls was constant 0); the corrupt view's
+    nulled order dates make the null column vary across the report.
 
     Scale shape: the only data pass is the aggregate; partials combine
     map-side. The multiple COUNT(DISTINCT) rewrite to Spark's Expand
@@ -84,7 +127,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard exact formulation; a 100 TB profile swaps in
     approx_count_distinct per column (one pass, no Expand) and keeps
     everything else identical."""
-    o = load_table(spark, sf_dir, "orders")
+    o = _corrupt_orders(load_table(spark, sf_dir, "orders"))
     aggs: list[Column] = []
     for c in _PROFILE_RENDER:
         aggs += [
@@ -113,40 +156,6 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Constraint audit
 # --------------------------------------------------------------------
 
-# Deterministic corruption layered over the clean fixture so every
-# rule counts >0 violations at every scale factor (non-vacuous
-# verification). Residue moduli are primes so the corrupted subsets
-# barely overlap.
-_SQL_CORRUPT_BASE = """
-  SELECT o_orderkey,
-         CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
-         CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
-         CASE WHEN o_orderkey % 103 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate
-  FROM orders
-"""
-
-_SQL_CORRUPT_ORDERS = f"""
-  SELECT * FROM ({_SQL_CORRUPT_BASE})
-  UNION ALL
-  SELECT * FROM ({_SQL_CORRUPT_BASE}) WHERE o_orderkey % 499 = 0
-"""
-
-_SQL_CORRUPT_LINEITEM = """
-  SELECT CASE WHEN l_orderkey % 997 = 0 THEN l_orderkey + 50000000
-              ELSE l_orderkey END AS l_orderkey
-  FROM lineitem
-"""
-
-
-def _corrupt_orders(o: DataFrame) -> DataFrame:
-    k = F.col("o_orderkey")
-    corrupted = o.select(
-        k,
-        F.when(k % 97 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
-        F.when(k % 101 == 0, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
-        F.when(k % 103 == 0, F.lit(None).cast("timestamp_ntz")).otherwise(F.col("o_orderdate")).alias("o_orderdate"),
-    )
-    return corrupted.unionAll(corrupted.filter(k % 499 == 0))
 
 
 @query(

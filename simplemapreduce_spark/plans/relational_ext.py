@@ -23,25 +23,29 @@ from simplemapreduce_spark.sources.tables import load_table
 @query(
     "q_join_full_outer",
     oracle="""
-    WITH o94 AS (
-      SELECT o_custkey, COUNT(*) AS n_1994 FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+    WITH oa AS (
+      SELECT o_custkey, COUNT(*) AS n_1996 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
       GROUP BY o_custkey
-    ), o95 AS (
-      SELECT o_custkey, COUNT(*) AS n_1995 FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    ), ob AS (
+      SELECT o_custkey, COUNT(*) AS n_1999 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
       GROUP BY o_custkey
     )
-    SELECT COALESCE(o94.o_custkey, o95.o_custkey) AS custkey,
-           COALESCE(o94.n_1994, 0) AS n_1994, COALESCE(o95.n_1995, 0) AS n_1995
-    FROM o94 FULL OUTER JOIN o95 ON o94.o_custkey = o95.o_custkey
+    SELECT COALESCE(oa.o_custkey, ob.o_custkey) AS custkey,
+           COALESCE(oa.n_1996, 0) AS n_1996, COALESCE(ob.n_1999, 0) AS n_1999
+    FROM oa FULL OUTER JOIN ob ON oa.o_custkey = ob.o_custkey
     """,
 )
 def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join: customers active in 1994 vs 1995 — both
-    unmatched sides surface as NULL counts. Shuffle-hash/sort-merge on
-    the key; both inputs pre-aggregated so the join input is one row
-    per key (the scalable shape — join after reduce, not before)."""
+    """Full outer join: customers active in 1996 vs 1999 — both
+    unmatched sides surface as NULL counts and BOTH actually occur
+    (round-4 audit: the original 1994 side predated the fixture's
+    1995-2001 span entirely, so every row came from one branch and
+    the full-outer semantics were untested). Shuffle-hash/sort-merge
+    on the key; both inputs pre-aggregated so the join input is one
+    row per key (the scalable shape — join after reduce, not
+    before)."""
     o = load_table(spark, sf_dir, "orders")
 
     def year(yr: int, alias: str) -> DataFrame:
@@ -54,14 +58,14 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias(alias))
         )
 
-    a = year(1994, "n_1994").alias("a")
-    b = year(1995, "n_1995").alias("b")
+    a = year(1996, "n_1996").alias("a")
+    b = year(1999, "n_1999").alias("b")
     # coalesce the counts: a nullable BIGINT output renders as None on
     # the Spark side but NaN on the DuckDB side of the driver's compare
     return a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer").select(
         F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
-        F.coalesce(F.col("n_1994"), F.lit(0)).alias("n_1994"),
-        F.coalesce(F.col("n_1995"), F.lit(0)).alias("n_1995"),
+        F.coalesce(F.col("n_1996"), F.lit(0)).alias("n_1996"),
+        F.coalesce(F.col("n_1999"), F.lit(0)).alias("n_1999"),
     )
 
 
