@@ -83,9 +83,12 @@ _SQL_CORRUPT_LINEITEM = """
 """
 
 
-def _corrupt_orders(o: DataFrame) -> DataFrame:
+def _corrupt_base(o: DataFrame) -> DataFrame:
+    """Single-branch corrupted projection (one scan — what the
+    profiler reads); the audit's duplicate-key corruption layers the
+    union on top via _corrupt_orders."""
     k = F.col("o_orderkey")
-    corrupted = o.select(
+    return o.select(
         k,
         F.col("o_custkey"),
         F.col("o_orderpriority"),
@@ -93,7 +96,11 @@ def _corrupt_orders(o: DataFrame) -> DataFrame:
         F.when(k % 101 == 0, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
         F.when(k % 103 == 0, F.lit(None).cast("timestamp_ntz")).otherwise(F.col("o_orderdate")).alias("o_orderdate"),
     )
-    return corrupted.unionAll(corrupted.filter(k % 499 == 0))
+
+
+def _corrupt_orders(o: DataFrame) -> DataFrame:
+    corrupted = _corrupt_base(o)
+    return corrupted.unionAll(corrupted.filter(F.col("o_orderkey") % 499 == 0))
 
 
 def _profile_oracle() -> str:
@@ -105,7 +112,7 @@ def _profile_oracle() -> str:
                COUNT(DISTINCT {c}) AS n_distinct,
                {render.format(v=f"MIN({c})")} AS min_value,
                {render.format(v=f"MAX({c})")} AS max_value
-        FROM ({_SQL_CORRUPT_ORDERS}) co"""
+        FROM ({_SQL_CORRUPT_BASE}) co"""
         )
     return "\nUNION ALL\n".join(parts)
 
@@ -116,10 +123,12 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE aggregate pass over the table, then a row-local unpivot of the
     single result row into the per-column report. Profiles the
     module's deterministically CORRUPTED orders view (the same one the
-    constraint audit checks): the clean fixture has zero NULLs
-    anywhere, so profiling it left the null-counting path untested
-    (round-4 audit — n_nulls was constant 0); the corrupt view's
-    nulled order dates make the null column vary across the report.
+    constraint audit checks, minus its duplicate-row union so the
+    profile stays a SINGLE scan — asserted in test_plans): the clean
+    fixture has zero NULLs anywhere, so profiling it left the
+    null-counting path untested (round-4 audit — n_nulls was constant
+    0); the corrupted view's nulled order dates make the null column
+    vary across the report.
 
     Scale shape: the only data pass is the aggregate; partials combine
     map-side. The multiple COUNT(DISTINCT) rewrite to Spark's Expand
@@ -127,7 +136,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard exact formulation; a 100 TB profile swaps in
     approx_count_distinct per column (one pass, no Expand) and keeps
     everything else identical."""
-    o = _corrupt_orders(load_table(spark, sf_dir, "orders"))
+    o = _corrupt_base(load_table(spark, sf_dir, "orders"))
     aggs: list[Column] = []
     for c in _PROFILE_RENDER:
         aggs += [
