@@ -1349,3 +1349,129 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lnv, lnn), 6).alias("heaps_beta"),
         F.round(F.regr_intercept(lnv, lnn), 6).alias("heaps_lnk"),
     )
+
+
+BPE_STEPS = 3
+
+
+def _bpe_oracle_sql(steps: int = BPE_STEPS) -> str:
+    """Chained-CTE DuckDB twin of the unrolled BPE training loop —
+    one (pairs -> argmax -> merge) round per CTE triple."""
+    parts = [
+        f"""words AS (
+      SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS wn
+      FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+      GROUP BY w)""",
+        "w0 AS (SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))"
+        " || ' ' AS seq, wn FROM words)",
+    ]
+    for s in range(1, steps + 1):
+        parts.append(
+            f"""p{s} AS (
+      SELECT pair, CAST(SUM(wn) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+                      i -> syms[i] || ' ' || syms[i + 1])) AS pair, wn
+        FROM (SELECT string_split(trim(seq), '  ') AS syms, wn FROM w{s - 1})
+      ) GROUP BY pair)"""
+        )
+        parts.append(
+            f"b{s} AS (SELECT pair, n FROM p{s} ORDER BY n DESC, pair LIMIT 1)"
+        )
+        parts.append(
+            f"""w{s} AS (
+      SELECT replace(seq, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                          ' ' || replace(b.pair, ' ', '') || ' ') AS seq, wn
+      FROM w{s - 1}, b{s} b)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {s} AS step, pair, replace(pair, ' ', '') AS merged, n FROM b{s}"
+        for s in range(1, steps + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + sel + " ORDER BY step"
+
+
+@query("q_text_bpe_train_merges", oracle=_bpe_oracle_sql())
+def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, unrolled: {BPE_STEPS} full merge rounds
+    (count adjacent symbol pairs weighted by word frequency -> global
+    argmax with deterministic ties on the pair string -> merge every
+    non-overlapping occurrence left-to-right), returning the learned
+    merge table (step, pair, merged, n) — the loop whose inner
+    statistic q_text_bpe_pairs computes once. Extends the reference's
+    word-count mapF/reduceF (common_test_suite.go:33-48) into the
+    tokenizer-training workload a 100 TB text pipeline actually runs.
+
+    Merge encoding: symbol sequences are single-space-padded,
+    DOUBLE-space-joined strings (" a  b  c "), so the merge is one
+    plain ``replace(seq, ' s1  s2 ', ' s1s2 ')``: the outer spaces
+    anchor symbol boundaries (no suffix/prefix false matches) and each
+    match consumes one space from each flanking double, leaving the
+    neighbour boundary intact — consecutive occurrences ("a b a b")
+    merge in one pass exactly like the classic greedy scan.
+    Left-to-right non-overlapping resume-after-replacement semantics
+    are identical in Spark's replace and DuckDB's; both verified
+    against an independent Python BPE in tests/test_quality_bounds.py.
+
+    Scale shape: state between rounds is the (seq, wn) VOCABULARY
+    table (|distinct words|, zipf-bounded), never the corpus — the
+    property that makes BPE training feasible as a handful of Spark
+    aggregations per round at corpus scale. Each round is one
+    explode->hash-agg (partial+final, pair-count partials) plus a
+    1-row broadcast argmax joined back row-locally; the corpus is
+    read once, up front. The argmax LIMIT 1 global sort is over the
+    pair-vocabulary aggregate, not data-sized."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
+    )
+    seq0 = F.concat(
+        F.lit(" "),
+        F.rtrim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
+        F.lit(" "),
+    )
+    cur = words.select(seq0.alias("seq"), "wn")
+    merges = []
+    for step in range(1, BPE_STEPS + 1):
+        syms = F.split(F.trim(F.col("seq")), "  ")
+        pair_list = F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+        )
+        pairs = (
+            cur.select("wn", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select("wn", F.explode(pair_list).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("wn").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "pair").limit(1)
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "n",
+            )
+        )
+        pattern = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        repl = F.concat(
+            F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        cur = cur.crossJoin(F.broadcast(best.select("pair"))).select(
+            F.replace(F.col("seq"), pattern, repl).alias("seq"), "wn"
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("step")
+
+
+q_text_bpe_train_merges.__doc__ = q_text_bpe_train_merges.__doc__.replace(
+    "{BPE_STEPS}", str(BPE_STEPS)
+)

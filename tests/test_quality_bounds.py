@@ -248,3 +248,55 @@ def test_ndcg_bounds_and_recall_consistency(spark, sf_dir):
     # The graded metric must not exceed 1 even for a perfect retriever,
     # and at least one fixture query should score > 0 (non-vacuity).
     assert any(r["n_hits"] > 0 for r in ndcg.values())
+
+
+def test_bpe_train_matches_independent_python(spark, sf_dir):
+    """q_text_bpe_train_merges vs a from-scratch Python BPE (classic
+    greedy scan over symbol tuples — no shared code with the Spark
+    double-space-replace encoding), proving the merge semantics
+    (weighted pair counts, n-desc/pair-asc tie-break, left-to-right
+    non-overlapping merge) and not just Spark/DuckDB agreement."""
+    import collections
+    import re
+
+    from simplemapreduce_spark.plans.llm_text import BPE_STEPS
+
+    got = [
+        tuple(r)
+        for r in catalog.QUERIES["q_text_bpe_train_merges"](spark, sf_dir).collect()
+    ]
+
+    texts = [
+        r["text"] for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    words = collections.Counter(
+        tok for t in texts for tok in re.split(r"\s+", t) if tok
+    )
+    vocab = collections.Counter()
+    for w, n in words.items():
+        vocab[tuple(w)] += n
+    expected = []
+    for step in range(1, BPE_STEPS + 1):
+        pc = collections.Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        top = max(pc.values())
+        s1, s2 = sorted(
+            (p for p, c in pc.items() if c == top),
+            key=lambda p: p[0] + " " + p[1],
+        )[0]
+        expected.append((step, f"{s1} {s2}", s1 + s2, top))
+        merged = collections.Counter()
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] += cnt
+        vocab = merged
+    assert got == expected, (got, expected)
