@@ -503,3 +503,83 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simplemapreduce_spark.operators.multimodal import audio_frame_energy
 
     return audio_frame_energy(media)
+
+
+_BLOCK_SZ = 64
+
+
+@query(
+    "q_multimodal_block_dedup",
+    # documents.text is pure ASCII (octet_length == length), so fixed
+    # 64-BYTE payload blocks equal 64-CHAR text slices and DuckDB's
+    # VARCHAR md5 checks the binary-side blocking exactly (same
+    # equivalence q_multimodal_features uses for its f0 byte check;
+    # DuckDB has no md5(BLOB)).
+    oracle=f"""
+    WITH blocks AS (
+      SELECT doc_id AS media_id,
+             md5(substr(text, CAST(i * {_BLOCK_SZ} + 1 AS INT), {_BLOCK_SZ}))
+               AS chk
+      FROM documents,
+           unnest(range(0, CAST(ceil(length(text) / {_BLOCK_SZ}.0) AS BIGINT)))
+             AS t(i)
+    ),
+    df AS (SELECT chk, COUNT(DISTINCT media_id) AS nm FROM blocks GROUP BY chk)
+    SELECT b.media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN df.nm >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_blocks,
+           CAST(ROUND(SUM(CASE WHEN df.nm >= 2 THEN 1 ELSE 0 END)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS shared_frac
+    FROM blocks b JOIN df USING (chk)
+    GROUP BY b.media_id
+    """,
+)
+def q_multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable BLOCK dedup over opaque binary payloads —
+    the storage-level dedup a multimodal lake runs before training
+    ingest: payloads split into fixed {B}-byte blocks, block checksums
+    counted across media, per-media share of blocks that also occur in
+    at least one OTHER payload. Whole-payload dedup is vacuous on this
+    corpus (every payload distinct); block grain is where multimodal
+    redundancy actually lives (shared headers, repeated frames,
+    common tiles). All blocking/hashing runs on the BINARY column —
+    substring and md5 on bytes, JVM-side, no Python.
+
+    Scale shape: explode to ceil(bytes/{B}) block rows (payload-
+    proportional, the same growth a chunked upload has), one checksum
+    hash-agg for the block frequency table, joined back on the
+    checksum key and re-aggregated to media grain — the exact plan of
+    q_dedup_dup_ngram_fraction transplanted to the binary domain. The
+    16-byte checksum, never the block bytes, is what shuffles for the
+    frequency count."""
+    media = documents_as_media(ensure_parallelism(load_table(spark, sf_dir, "documents")))
+    n_blocks = F.ceil(F.col("byte_len") / F.lit(float(_BLOCK_SZ))).cast("long")
+    blocks = media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_blocks - 1)).alias("i"),
+        "payload",
+    ).select(
+        "media_id",
+        F.md5(
+            F.expr(f"substring(payload, CAST(i * {_BLOCK_SZ} + 1 AS INT), {_BLOCK_SZ})")
+        ).alias("chk"),
+    )
+    dfreq = blocks.groupBy("chk").agg(F.count_distinct("media_id").alias("nm"))
+    shared = (F.col("nm") >= 2).cast("int")
+    return (
+        blocks.join(dfreq, "chk")
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(shared).cast("long").alias("n_shared_blocks"),
+            F.round(
+                F.sum(shared).cast("double") / F.count("*").cast("double"), 6
+            ).alias("shared_frac"),
+        )
+    )
+
+
+q_multimodal_block_dedup.__doc__ = q_multimodal_block_dedup.__doc__.replace(
+    "{B}", str(_BLOCK_SZ)
+)

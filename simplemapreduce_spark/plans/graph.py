@@ -716,3 +716,138 @@ def q_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("part", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_HIER_SQL)
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ), adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+    lab0 AS (SELECT DISTINCT node, node AS label FROM adj)"""
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f"""cnt{r} AS (
+      SELECT a.node, l.label, COUNT(*) AS c
+      FROM adj a JOIN lab{r - 1} l ON l.node = a.nbr
+      GROUP BY 1, 2
+    ), lab{r} AS (
+      SELECT node, label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label) AS rk
+        FROM cnt{r}
+      ) WHERE rk = 1)"""
+        )
+    reports = []
+    for r in range(_LPA_ROUNDS + 1):
+        reports.append(
+            f"""SELECT 'round_{r}' AS stage, c.n_communities, c.max_community, s.checksum
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                 CAST(MAX(n) AS BIGINT) AS max_community
+          FROM (SELECT label, COUNT(*) AS n FROM lab{r} GROUP BY label)) c,
+         (SELECT CAST(SUM(node * label) AS BIGINT) AS checksum FROM lab{r}) s"""
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(reports)
+
+
+@query("q_graph_label_propagation", oracle=_lpa_oracle())
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection on the
+    co-purchase graph, {R} fixed rounds: every node adopts the most
+    frequent label among its NEIGHBORS (ties -> smallest label),
+    starting from label = own id — the near-linear-time community
+    algorithm (Raghavan et al. 2007) and the fourth member of the
+    unrolled-iteration family (PageRank / Bellman-Ford / k-core).
+    Deterministic by construction: fixed round count, synchronous
+    updates, total tie order — no RNG, no update-order dependence.
+    The trace pins every round's full label state (community count,
+    largest community, and a sum(node*label) checksum), not just the
+    final partition.
+
+    Scale shape: one round = one |E|-sized join of the adjacency
+    against the node-sized label table, a (node, label) hash count,
+    and a per-node argmax window partitioned by node (bounded by that
+    node's distinct neighbor labels — degree-bounded, never
+    corpus-sized). The edge table is the memoized co-purchase build
+    shared with triangles/k-core/link-prediction; label state between
+    rounds is node-sized."""
+    from simplemapreduce_spark.cache import memo_persist, table_stamp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = memo_persist(
+        li.select("l_orderkey", "l_partkey").distinct(),
+        f"basket.order_parts:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
+    )
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = F.expr(
+        "explode(flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v)))))"
+    )
+    e = memo_persist(
+        baskets.select(pair_expr.alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("u", "v"),
+        f"graph.copurchase_edges:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    labels = adj.select("node").distinct().select("node", F.col("node").alias("label"))
+    states = [("round_0", labels)]
+    for r in range(_LPA_ROUNDS):
+        cnt = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = W.partitionBy("node").orderBy(F.desc("c"), "label")
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+        states.append((f"round_{r + 1}", labels))
+    reports = []
+    for name, lab in states:
+        comm = (
+            lab.groupBy("label")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.count("*").cast("long").alias("n_communities"),
+                F.max("n").cast("long").alias("max_community"),
+            )
+        )
+        chk = lab.agg(
+            F.sum(F.col("node") * F.col("label")).cast("long").alias("checksum")
+        )
+        reports.append(
+            comm.crossJoin(chk).select(
+                F.lit(name).alias("stage"), "n_communities", "max_community", "checksum"
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionAll(rep)
+    return out
+
+
+q_graph_label_propagation.__doc__ = q_graph_label_propagation.__doc__.format(
+    R=_LPA_ROUNDS
+)

@@ -1475,3 +1475,63 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_text_bpe_train_merges.__doc__ = q_text_bpe_train_merges.__doc__.replace(
     "{BPE_STEPS}", str(BPE_STEPS)
 )
+
+
+@query(
+    "q_text_classifier_linear",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(2 * (CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 16)
+                      - 15) AS BIGINT) AS num,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(ROUND(1.0 / (1.0 + exp(-(CAST(num AS DOUBLE)
+                / (32.0 * GREATEST(n_tokens, 1))))), 6) AS DOUBLE) AS score,
+           CAST(num > 0 AS INTEGER) AS keep
+    FROM agg
+    """,
+)
+def q_text_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference of a linear text-quality classifier (fastText-
+    style): hashing-trick unigram features (the q_text_feature_hashing
+    16-bucket space), a fixed weight vector w_b = (b - 7.5)/16 encoded
+    IN the bucket id (stand-in for trained weights, which would arrive
+    as a broadcast map), mean-pooled logit, sigmoid score, binary
+    keep/drop. This is the model-scoring stage of a curation funnel
+    (quality classifiers a la CCNet/FineWeb) run as pure column math.
+
+    Exactness: the logit numerator sum(2b - 15) is INTEGER, so pooling
+    is order-independent and the keep/drop decision (num > 0) is
+    exact on both engines; only the reported sigmoid touches floats,
+    rounded at 6dp after one exp of a bit-identical double quotient.
+
+    Scale shape: explode -> one (doc) hash aggregate carrying two
+    integer partials; no vocabulary table, no join, no Python — model
+    inference at full scan speed, the reason hashed linear classifiers
+    remain the 100 TB workhorse."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long") % 16
+    )
+    agg = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(bucket * 2 - 15).alias("num"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    logit = F.col("num").cast("double") / (
+        F.greatest(F.col("n_tokens"), F.lit(1)).cast("double") * 32.0
+    )
+    return agg.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        (F.col("num") > 0).cast("int").alias("keep"),
+    )

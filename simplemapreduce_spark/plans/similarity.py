@@ -2028,3 +2028,69 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("top.nd")).cast("int").alias("top_drift_dim"),
         )
     )
+
+
+@query(
+    "q_sim_ivf_incremental",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL}
+    SELECT cell,
+           CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_base,
+           CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(MIN(CASE WHEN vec_id % 10 = 0 THEN vec_id END) AS BIGINT)
+             AS first_delta_vec
+    FROM assign GROUP BY cell
+    """,
+)
+def q_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index MAINTENANCE: vectors with vec_id % 10 = 0
+    arrive as a new batch against an index already built over the
+    rest. The Spark plan does what a production vector store does on
+    ingest — assign ONLY the delta batch to its nearest existing
+    centroid (row-local broadcast argmin over the incoming rows) and
+    merge per-cell occupancy stats into the base index with a keyed
+    outer merge — never re-scanning or re-assigning the base corpus.
+    Output: per-cell base/delta/total occupancy plus the first
+    delta vector routed to the cell (an exact pin of the delta
+    assignment itself, not just its size).
+
+    The oracle spells the equivalent single-pass assignment (DuckDB
+    has no incremental state); equality proves the incremental path
+    (base counts + delta assignment + merge) reproduces the
+    from-scratch index — the index-maintenance invariant.
+
+    Scale shape: delta cost is |batch| x K distance folds (map-only)
+    plus a cell-keyed agg; the merge joins two K-row tables. The base
+    corpus is touched once ever (its assignment is the memoized
+    `ivf.assign` table shared with q_sim_ivf_topk / q_dedup_semantic),
+    so ingest cost is proportional to the batch, not the corpus —
+    the property that makes continuous embedding ingest feasible."""
+    v, cents, cells_sorted, assign = _ivf_index(spark, sf_dir)
+    is_delta = F.col("vec_id") % 10 == 0
+    base_counts = (
+        assign.filter(~is_delta).groupBy("cell").agg(F.count("*").alias("n_base"))
+    )
+    delta_assigned = (
+        v.filter(is_delta)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", F.expr(f"element_at({cells_sorted}, 1).cid").alias("cell")
+        )
+    )
+    delta_counts = delta_assigned.groupBy("cell").agg(
+        F.count("*").alias("n_delta"),
+        F.min("vec_id").cast("long").alias("first_delta_vec"),
+    )
+    merged = base_counts.join(delta_counts, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+        (F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0)))
+        .cast("long")
+        .alias("n_total"),
+        "first_delta_vec",
+    )
+    return merged
