@@ -273,6 +273,18 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "q_graph_kcore",
         "q_recursive_hierarchy_rollup",
         "q_embedding_drift",
+        # Round-5 batch: BPE training's per-round global argmax must be
+        # decided by the (n desc, pair) total order, never by which
+        # partition's partial arrives first; LPA's per-node majority
+        # vote ties break on label; the incremental IVF merge rides a
+        # full-outer join; block dedup re-aggregates a checksum
+        # frequency join; the classifier's integer logit pooling is
+        # order-free by construction — pin it anyway.
+        "q_text_bpe_train_merges",
+        "q_graph_label_propagation",
+        "q_sim_ivf_incremental",
+        "q_multimodal_block_dedup",
+        "q_text_classifier_linear",
     ):
         assert run(name, 3) == run(name, 17), name
 
