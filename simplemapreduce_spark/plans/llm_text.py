@@ -1354,9 +1354,10 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_STEPS = 3
 
 
-def _bpe_oracle_sql(steps: int = BPE_STEPS) -> str:
-    """Chained-CTE DuckDB twin of the unrolled BPE training loop —
-    one (pairs -> argmax -> merge) round per CTE triple."""
+def _bpe_cte_prefix(steps: int = BPE_STEPS) -> str:
+    """Shared chained-CTE prefix of the unrolled BPE training loop —
+    one (pairs -> argmax -> merge) round per CTE triple; the training
+    and compression-curve oracles select different tails over it."""
     parts = [
         f"""words AS (
       SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS wn
@@ -1383,11 +1384,34 @@ def _bpe_oracle_sql(steps: int = BPE_STEPS) -> str:
                           ' ' || replace(b.pair, ' ', '') || ' ') AS seq, wn
       FROM w{s - 1}, b{s} b)"""
         )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _bpe_oracle_sql(steps: int = BPE_STEPS) -> str:
     sel = " UNION ALL ".join(
         f"SELECT {s} AS step, pair, replace(pair, ' ', '') AS merged, n FROM b{s}"
         for s in range(1, steps + 1)
     )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + sel + " ORDER BY step"
+    return _bpe_cte_prefix(steps) + "\n    " + sel + " ORDER BY step"
+
+
+def _bpe_compression_oracle_sql(steps: int = BPE_STEPS) -> str:
+    reports = []
+    for s in range(steps + 1):
+        reports.append(
+            f"""SELECT {s} AS step,
+           (SELECT CAST(SUM(len(string_split(trim(seq), '  ')) * wn) AS BIGINT)
+            FROM w{s}) AS corpus_symbols,
+           (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+            FROM (SELECT unnest(string_split(trim(seq), '  ')) AS sym FROM w{s}))
+             AS vocab_symbols"""
+        )
+    return (
+        _bpe_cte_prefix(steps)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(reports)
+        + " ORDER BY step"
+    )
 
 
 @query("q_text_bpe_train_merges", oracle=_bpe_oracle_sql())
@@ -1420,6 +1444,18 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast argmax joined back row-locally; the corpus is
     read once, up front. The argmax LIMIT 1 global sort is over the
     pair-vocabulary aggregate, not data-sized."""
+    _, merges = _bpe_chain(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("step")
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str):
+    """The unrolled BPE training dataflow shared by the merge-table and
+    compression-curve queries: returns (states, merges) where states =
+    [vocab after 0..BPE_STEPS merges] as (seq, wn) frames and merges =
+    one 1-row (step, pair, merged, n) frame per round."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     words = (
         d.select(F.explode(tokens("text")).alias("w"))
@@ -1432,6 +1468,7 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" "),
     )
     cur = words.select(seq0.alias("seq"), "wn")
+    states = [cur]
     merges = []
     for step in range(1, BPE_STEPS + 1):
         syms = F.split(F.trim(F.col("seq")), "  ")
@@ -1466,9 +1503,44 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.crossJoin(F.broadcast(best.select("pair"))).select(
             F.replace(F.col("seq"), pattern, repl).alias("seq"), "wn"
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
+        states.append(cur)
+    return states, merges
+
+
+@query("q_text_bpe_compression", oracle=_bpe_compression_oracle_sql())
+def q_text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer COMPRESSION CURVE over the unrolled BPE training
+    rounds: after each merge, total corpus length in symbols (what the
+    model actually pays per epoch) and distinct symbol-vocabulary size
+    — the fertility-vs-vocabulary trade a tokenizer team plots before
+    freezing merges. Pins the FULL vocabulary state of every training
+    round (any divergence in any word's segmentation moves
+    corpus_symbols), a much stronger check than the merge table alone.
+
+    Scale shape: same vocabulary-sized chain as
+    q_text_bpe_train_merges (shared _bpe_chain dataflow); each curve
+    point is two aggregates over the (seq, wn) vocab table — corpus
+    length as sum(|syms| * wn) without re-touching the corpus, the
+    bookkeeping trick that makes per-round evaluation free."""
+    states, _ = _bpe_chain(spark, sf_dir)
+    reports = []
+    for step, st_df in enumerate(states):
+        syms = F.split(F.trim(F.col("seq")), "  ")
+        corpus = st_df.agg(
+            F.sum(F.size(syms) * F.col("wn")).cast("long").alias("corpus_symbols")
+        )
+        vocab = (
+            st_df.select(F.explode(syms).alias("sym"))
+            .agg(F.count_distinct("sym").cast("long").alias("vocab_symbols"))
+        )
+        reports.append(
+            corpus.crossJoin(vocab).select(
+                F.lit(step).alias("step"), "corpus_symbols", "vocab_symbols"
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
     return out.orderBy("step")
 
 

@@ -197,3 +197,49 @@ def test_no_vacuous_boolean_outputs(spark, sf_dir):
             if t == "boolean" and (name, c) not in _CONSTANT_BOOL_ALLOWLIST:
                 vals = {r[c] for r in rows}
                 assert len(vals) == 2, f"{name}.{c}: constant {vals}"
+
+
+def test_round5_ops_nonvacuous(spark, sf_dir):
+    """Round-5 additions, non-vacuity pinned: each query's interesting
+    branch must actually fire on the fixture (the 'vacuously green
+    stage' trap — a result that would look identical if the operator
+    were broken).
+
+    - LPA: labels must keep CHANGING across rounds (strictly fewer
+      communities, growing largest community) — a fixed-point-at-
+      round-0 graph would never exercise the majority vote.
+    - BPE: every merge must strictly shrink the corpus symbol count
+      (a merge that never matches leaves it flat) and grow the symbol
+      vocabulary.
+    - Classifier: both keep and drop classes must be populated.
+    - IVF incremental: every cell must receive BOTH base and delta
+      vectors (an empty-delta merge never tests the outer join).
+    - Block dedup: shared fractions must be non-constant, with shared
+      blocks present (all-zero would pass with a broken join key).
+    """
+    lpa = {r["stage"]: r for r in catalog.QUERIES["q_graph_label_propagation"](spark, sf_dir).collect()}
+    stages = [lpa[f"round_{i}"] for i in range(4)]
+    for a, b in zip(stages, stages[1:]):
+        assert b["n_communities"] < a["n_communities"], (a, b)
+        assert b["max_community"] >= a["max_community"], (a, b)
+
+    comp = sorted(
+        catalog.QUERIES["q_text_bpe_compression"](spark, sf_dir).collect(),
+        key=lambda r: r["step"],
+    )
+    for a, b in zip(comp, comp[1:]):
+        assert b["corpus_symbols"] < a["corpus_symbols"], (a, b)
+        assert b["vocab_symbols"] == a["vocab_symbols"] + 1, (a, b)
+
+    keep_vals = {
+        r["keep"] for r in catalog.QUERIES["q_text_classifier_linear"](spark, sf_dir).collect()
+    }
+    assert keep_vals == {0, 1}, keep_vals
+
+    ivf = catalog.QUERIES["q_sim_ivf_incremental"](spark, sf_dir).collect()
+    assert all(r["n_base"] > 0 and r["n_delta"] > 0 for r in ivf), ivf
+    assert all(r["n_total"] == r["n_base"] + r["n_delta"] for r in ivf), ivf
+
+    bd = catalog.QUERIES["q_multimodal_block_dedup"](spark, sf_dir).collect()
+    fracs = {r["shared_frac"] for r in bd}
+    assert len(fracs) > 1 and any(f > 0 for f in fracs), sorted(fracs)[:5]
