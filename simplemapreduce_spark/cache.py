@@ -80,3 +80,31 @@ def clear_memo() -> None:
         except Exception:
             pass
     _MEMO.clear()
+
+
+def memo_local_checkpoint(df: DataFrame, key: str, stamp: str = "") -> DataFrame:
+    """Like ``memo_persist`` but stores a ``localCheckpoint`` — the
+    returned DataFrame's LINEAGE is truncated, not just its data
+    cached. Use for iterative states (label propagation, clustering)
+    whose logical plan grows with the round count: a cached-but-
+    unclipped chain still pays Catalyst analysis/optimization of the
+    full tree on EVERY downstream query construction, which for a
+    3-round windowed chain costs more driver time than the node-sized
+    data itself. Same (application, key, stamp) lifecycle as
+    memo_persist; superseded entries just drop (checkpoint storage is
+    freed with the RDD by the ContextCleaner)."""
+    app = df.sparkSession.sparkContext.applicationId
+    hit = _MEMO.get((app, key, stamp))
+    if hit is not None:
+        return hit
+    for old in [k for k in _MEMO if k[0] != app]:
+        del _MEMO[old]
+    for old in [k for k in _MEMO if k[0] == app and k[1] == key and k[2] != stamp]:
+        try:
+            _MEMO[old].unpersist()
+        except Exception:
+            pass
+        del _MEMO[old]
+    out = df.localCheckpoint(eager=True)
+    _MEMO[(app, key, stamp)] = out
+    return out

@@ -808,6 +808,18 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
     labels = adj.select("node").distinct().select("node", F.col("node").alias("label"))
+    # Each round's label table is NODE-sized but derives from an
+    # |E|-join chain; the trace below reads every round's state from
+    # TWO aggregate branches, and Spark has no cross-branch subtree
+    # reuse — unpersisted, round k recomputes rounds 1..k-1 per branch
+    # (quadratic in rounds; measured 3.7 s -> the dominant bench cost).
+    # Persisting each round caps the whole trace at one |E|-join per
+    # round, the same lineage discipline as q_dedup_clusters.
+    from simplemapreduce_spark.cache import memo_local_checkpoint
+
+    labels = memo_local_checkpoint(
+        labels, f"graph.lpa_labels0:{sf_dir}", table_stamp(sf_dir, "lineitem")
+    )
     states = [("round_0", labels)]
     for r in range(_LPA_ROUNDS):
         cnt = (
@@ -818,34 +830,36 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("c"))
         )
         w = W.partitionBy("node").orderBy(F.desc("c"), "label")
-        labels = (
+        labels = memo_local_checkpoint(
             cnt.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
-            .select("node", "label")
+            .select("node", "label"),
+            f"graph.lpa_labels{r + 1}:{sf_dir}",
+            table_stamp(sf_dir, "lineitem"),
         )
         states.append((f"round_{r + 1}", labels))
-    reports = []
-    for name, lab in states:
-        comm = (
-            lab.groupBy("label")
-            .agg(F.count("*").alias("n"))
-            .agg(
-                F.count("*").cast("long").alias("n_communities"),
-                F.max("n").cast("long").alias("max_community"),
-            )
+    # One-pass trace: tag each (persisted, node-sized) round state and
+    # aggregate the union once — one job instead of two branches per
+    # round (the branch-per-round version spent more wall time on task
+    # scheduling than on the propagation itself).
+    tagged = states[0][1].select(F.lit(states[0][0]).alias("stage"), "node", "label")
+    for name, lab in states[1:]:
+        tagged = tagged.unionAll(lab.select(F.lit(name).alias("stage"), "node", "label"))
+    comm = (
+        tagged.groupBy("stage", "label")
+        .agg(F.count("*").alias("n"))
+        .groupBy("stage")
+        .agg(
+            F.count("*").cast("long").alias("n_communities"),
+            F.max("n").cast("long").alias("max_community"),
         )
-        chk = lab.agg(
-            F.sum(F.col("node") * F.col("label")).cast("long").alias("checksum")
-        )
-        reports.append(
-            comm.crossJoin(chk).select(
-                F.lit(name).alias("stage"), "n_communities", "max_community", "checksum"
-            )
-        )
-    out = reports[0]
-    for rep in reports[1:]:
-        out = out.unionAll(rep)
-    return out
+    )
+    chk = tagged.groupBy("stage").agg(
+        F.sum(F.col("node") * F.col("label")).cast("long").alias("checksum")
+    )
+    return comm.join(chk, "stage").select(
+        "stage", "n_communities", "max_community", "checksum"
+    )
 
 
 q_graph_label_propagation.__doc__ = q_graph_label_propagation.__doc__.format(
