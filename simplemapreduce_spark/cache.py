@@ -73,13 +73,23 @@ def memo_persist(
 
 
 def clear_memo() -> None:
-    """Unpersist and drop every memoized subtree (test teardown hook)."""
+    """Unpersist and drop every memoized subtree (test teardown hook).
+    Also drops the trained-centroid row memo (operators/kmeans.py) —
+    the partition-invariance property test relies on this to RE-TRAIN
+    under each shuffle layout; keeping centroids across clear_memo
+    would verify training invariance vacuously."""
     for df in _MEMO.values():
         try:
             df.unpersist()
         except Exception:
             pass
     _MEMO.clear()
+    try:
+        from simplemapreduce_spark.operators.kmeans import _FIT_MEMO
+
+        _FIT_MEMO.clear()
+    except ImportError:
+        pass
 
 
 def memo_local_checkpoint(df: DataFrame, key: str, stamp: str = "") -> DataFrame:

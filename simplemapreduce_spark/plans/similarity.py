@@ -437,8 +437,16 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_quality_bounds.py."""
     from simplemapreduce_spark.operators.kmeans import assign_cells, kmeans_fit
 
+    from simplemapreduce_spark.cache import table_stamp
+
     v = _vectors(spark, sf_dir)
-    cent = kmeans_fit(v, k=N_CENTROIDS, iters=KMEANS_ITERS)
+    cent = kmeans_fit(
+        v,
+        k=N_CENTROIDS,
+        iters=KMEANS_ITERS,
+        memo_key=f"ivf_kmeans:{sf_dir}:{table_stamp(sf_dir, 'embeddings')}"
+        f":k{N_CENTROIDS}:i{KMEANS_ITERS}",
+    )
     assigned = assign_cells(v, cent).select("vec_id", "e", "cell")
     # probe: each query's N_PROBE nearest TRAINED centroids
     q = v.filter(F.col("vec_id") < N_QUERIES)
@@ -790,7 +798,15 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select(F.col("s.g").alias("g"), "vec_id", F.col("s.e").alias("e"))
-    cb = kmeans_fit_grouped(subs, k=K_PQ, iters=_PQ_ITERS).withColumnRenamed("g", "m")
+    from simplemapreduce_spark.cache import table_stamp
+
+    cb = kmeans_fit_grouped(
+        subs,
+        k=K_PQ,
+        iters=_PQ_ITERS,
+        memo_key=f"pq_codebooks:{sf_dir}:{table_stamp(sf_dir, 'embeddings')}"
+        f":k{K_PQ}:i{_PQ_ITERS}",
+    ).withColumnRenamed("g", "m")
     # One broadcast row: codebooks[m+1] = cid-ordered list of centroids.
     books = (
         cb.groupBy("m")
