@@ -157,3 +157,99 @@ def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM smr_events_udtf e, LATERAL extract_props(e.props, 'k,missing') t "
         "WHERE t.k >= 95"
     )
+
+
+class UserGapStats:
+    """Per-partition imperative aggregation via a UDTF TABLE argument:
+    consumes one user's events in ORDER BY order, tracks the maximum
+    inter-arrival gap, and emits ONE summary row from terminate() —
+    the 'custom aggregate as a table function' pattern (Spark 4
+    ``f(TABLE(t) PARTITION BY k ORDER BY o)``), which is the closest
+    SQL-surface analogue of the reference's holistic reduceF contract
+    (common_reduce.go:78-87: all values of one key, in one user
+    function). A fresh UDTF instance serves each partition, so
+    instance state IS the per-key state."""
+
+    def __init__(self):
+        self._user = None
+        self._prev = None
+        self._n = 0
+        self._max_gap = 0
+
+    def eval(self, row):  # noqa: D102 — UDTF contract
+        self._user = row["user_id"]
+        ts_us = row["ts_us"]
+        if self._prev is not None:
+            # whole seconds by integer floor — timestamps carry
+            # microseconds, and float total_seconds() truncation
+            # diverged from the oracle's epoch math by 1s on some rows
+            gap = (ts_us - self._prev) // 1_000_000
+            if gap > self._max_gap:
+                self._max_gap = gap
+        self._prev = ts_us
+        self._n += 1
+
+    def terminate(self):  # noqa: D102 — UDTF contract
+        if self._user is not None:
+            yield self._user, self._n, self._max_gap
+
+
+@query(
+    "q_udtf_table_partition_by",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(MAX(gap_s), 0) AS BIGINT) AS max_gap_s
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q_udtf_table_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF invoked with a partitioned-ordered TABLE argument — the
+    Spark 4 surface ``gap_stats(TABLE(events) PARTITION BY user_id
+    ORDER BY ts)``: the engine shuffles by the partition key, sorts
+    within, and streams each user's rows through a fresh UDTF
+    instance; terminate() emits the per-user summary (event count +
+    max inter-arrival gap in seconds). Complements q_udtf_token_runs
+    (per-row lateral 1->n) and q_udtf_polymorphic (analyze-time
+    schema) with the per-PARTITION holistic contract.
+
+    Determinism: the max gap over a user's timestamp multiset does not
+    depend on the tie order of equal timestamps, so the ORDER BY
+    (ts_us, event_id) total order makes results layout-independent.
+    Timestamps enter the UDTF as INTEGER unix microseconds
+    (unix_micros over the NTZ column cast in the UTC session — and
+    gaps are differences, so any fixed session offset cancels); whole
+    seconds come from integer floor division on both engines, because
+    float total_seconds() truncation diverged from the oracle's epoch
+    rounding by 1s on microsecond-carrying fixtures.
+
+    Scale shape: exactly one hash shuffle on user_id + per-partition
+    sort — identical movement to the window-function oracle; state per
+    key is O(1) (prev timestamp, running max), never the row set."""
+    from pyspark.sql.functions import udtf
+
+    from simplemapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    gap_stats = udtf(
+        UserGapStats, returnType="user_id bigint, n_events bigint, max_gap_s bigint"
+    )
+    spark.udtf.register("smr_gap_stats", gap_stats)
+    from simplemapreduce_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_tbl")
+    return spark.sql(
+        """
+        SELECT user_id, n_events, max_gap_s
+        FROM smr_gap_stats(TABLE(SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us,
+                                        event_id FROM events_tbl)
+                           PARTITION BY user_id ORDER BY (ts_us, event_id))
+        """
+    )

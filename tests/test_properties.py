@@ -285,6 +285,10 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         "q_sim_ivf_incremental",
         "q_multimodal_block_dedup",
         "q_text_classifier_linear",
+        # The partitioned-table UDTF streams each user's rows through a
+        # per-partition instance — the per-key state machine must see
+        # the same ordered stream under any shuffle fan-in.
+        "q_udtf_table_partition_by",
     ):
         assert run(name, 3) == run(name, 17), name
 

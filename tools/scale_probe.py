@@ -71,6 +71,21 @@ PROBE = [
     "q_decontam_minhash",
     "q_ts_drawdown",
     "q_graph_common_neighbors",
+    # Round-5 additions: BPE training scales with the VOCABULARY, not
+    # the corpus (the scale claim under test); block dedup is payload-
+    # proportional explode + checksum agg; LPA/k-core are the
+    # checkpointed per-round |E|-joins; ivf-kmeans exercises the
+    # trained-centroid memo (first run trains, steady state serves);
+    # the incremental IVF assigns only the delta batch.
+    "q_text_bpe_train_merges",
+    "q_text_bpe_compression",
+    "q_text_classifier_linear",
+    "q_multimodal_block_dedup",
+    "q_graph_label_propagation",
+    "q_graph_kcore",
+    "q_sim_ivf_incremental",
+    "q_sim_ivf_kmeans_topk",
+    "q_udtf_table_partition_by",
 ]
 
 
