@@ -2110,3 +2110,111 @@ def q_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_delta_vec",
     )
     return merged
+
+
+MINE_K = 4        # neighborhood size for the margin normalizer
+MINE_MARGIN = 1.05  # mined-pair acceptance threshold
+
+
+@query(
+    "q_sim_margin_mining",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+               FROM embeddings),
+    a AS (SELECT vec_id AS x, e FROM v WHERE label = 0),
+    b AS (SELECT vec_id AS y, e FROM v WHERE label = 1),
+    pairs AS (
+      SELECT a.x, b.y,
+             CAST(ROUND(list_cosine_similarity(a.e, b.e) * 10000, 0) AS BIGINT)
+               AS ci
+      FROM a CROSS JOIN b
+    ),
+    nx AS (
+      SELECT x, SUM(ci) AS sx FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY x ORDER BY ci DESC, y) AS rk
+        FROM pairs) WHERE rk <= {MINE_K} GROUP BY x
+    ),
+    ny AS (
+      SELECT y, SUM(ci) AS sy FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY y ORDER BY ci DESC, x) AS rk
+        FROM pairs) WHERE rk <= {MINE_K} GROUP BY y
+    ),
+    scored AS (
+      SELECT p.x, p.y, p.ci,
+             CAST(p.ci AS DOUBLE) * 2 * {MINE_K} / (nx.sx + ny.sy) AS margin
+      FROM pairs p JOIN nx USING (x) JOIN ny USING (y)
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY x
+                                     ORDER BY margin DESC, y) AS rk
+        FROM scored) WHERE rk = 1
+    )
+    SELECT x AS src_id, y AS tgt_id,
+           CAST(ci AS DOUBLE) / 10000 AS cos_sim,
+           CAST(ROUND(margin, 6) AS DOUBLE) AS margin
+    FROM best WHERE margin > {MINE_MARGIN}
+    """,
+)
+def q_sim_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair MINING (Artetxe & Schwenk, ACL 2019
+    — the method behind LASER/CCMatrix bitext harvesting): for every
+    source vector (label 0) find the label-1 candidate whose cosine,
+    NORMALIZED by the mean of both sides' {K}-NN neighborhoods,
+    maximizes the margin; accept pairs above {TH}. The margin ratio
+    suppresses hub vectors that are near everything — the reason raw
+    cosine thresholds mine garbage at corpus scale.
+
+    Exactness discipline: cosines are scaled to integer 1e-4 units
+    before any aggregation, so neighborhood sums are order-independent
+    integers and the margin is a single exact-integer ratio
+    (ci*2K/(sx+sy)) evaluated in one double division on both engines —
+    no float-sum ordering anywhere.
+
+    Scale shape: test scale scores A x B exactly (the label slices are
+    tiny); at 100 TB the pair generation is the LSH/IVF bucketed
+    candidate join (q_sim_topk_lsh_bucketed / q_sim_ivf_topk) and the
+    neighborhood sums come from the same per-query top-K that the
+    index already answers — the margin math above is unchanged, it
+    just consumes candidate pairs instead of the cross product. Both
+    sides' K-NN tables are per-id aggregates (node-sized), joined back
+    on the pair keys."""
+    v = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    a = v.filter(F.col("label") == 0).select(F.col("vec_id").alias("x"), F.col("e").alias("ae"))
+    b = v.filter(F.col("label") == 1).select(F.col("vec_id").alias("y"), F.col("e").alias("be"))
+    ci = F.round(cosine_similarity(F.col("ae"), F.col("be")) * 10000, 0).cast("long")
+    pairs = a.crossJoin(F.broadcast(b)).select("x", "y", ci.alias("ci"))
+    wx = W.partitionBy("x").orderBy(F.desc("ci"), "y")
+    nx = (
+        pairs.withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") <= MINE_K)
+        .groupBy("x")
+        .agg(F.sum("ci").alias("sx"))
+    )
+    wy = W.partitionBy("y").orderBy(F.desc("ci"), "x")
+    ny = (
+        pairs.withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= MINE_K)
+        .groupBy("y")
+        .agg(F.sum("ci").alias("sy"))
+    )
+    margin = F.col("ci").cast("double") * 2 * MINE_K / (F.col("sx") + F.col("sy"))
+    scored = pairs.join(nx, "x").join(ny, "y").select("x", "y", "ci", margin.alias("margin"))
+    wbest = W.partitionBy("x").orderBy(F.desc("margin"), "y")
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .filter((F.col("rk") == 1) & (F.col("margin") > MINE_MARGIN))
+        .select(
+            F.col("x").alias("src_id"),
+            F.col("y").alias("tgt_id"),
+            (F.col("ci").cast("double") / 10000).alias("cos_sim"),
+            F.round("margin", 6).alias("margin"),
+        )
+    )
+
+
+q_sim_margin_mining.__doc__ = q_sim_margin_mining.__doc__.replace(
+    "{K}", str(MINE_K)
+).replace("{TH}", str(MINE_MARGIN))

@@ -289,6 +289,9 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         # per-partition instance — the per-key state machine must see
         # the same ordered stream under any shuffle fan-in.
         "q_udtf_table_partition_by",
+        # Margin mining: two K-NN window ranks + a per-source argmax,
+        # all tie-broken on ids over exact-integer cosine sums.
+        "q_sim_margin_mining",
     ):
         assert run(name, 3) == run(name, 17), name
 

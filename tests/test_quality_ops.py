@@ -243,3 +243,13 @@ def test_round5_ops_nonvacuous(spark, sf_dir):
     bd = catalog.QUERIES["q_multimodal_block_dedup"](spark, sf_dir).collect()
     fracs = {r["shared_frac"] for r in bd}
     assert len(fracs) > 1 and any(f > 0 for f in fracs), sorted(fracs)[:5]
+
+    from simplemapreduce_spark.plans.similarity import MINE_MARGIN  # noqa: PLC0415
+    from simplemapreduce_spark.sources.tables import load_table  # noqa: PLC0415
+
+    mined = catalog.QUERIES["q_sim_margin_mining"](spark, sf_dir).collect()
+    n_src = (
+        load_table(spark, sf_dir, "embeddings").filter("label = 0").count()
+    )
+    assert 0 < len(mined) < n_src, (len(mined), n_src)  # threshold must bite
+    assert all(r["margin"] > MINE_MARGIN for r in mined)
