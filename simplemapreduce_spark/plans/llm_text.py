@@ -1607,3 +1607,63 @@ def q_text_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
         (F.col("num") > 0).cast("int").alias("keep"),
     )
+
+
+PHRASE = ("order", "fast")
+
+
+@query(
+    "q_text_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.token, t.pos
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+           LATERAL (SELECT unnest(ts) AS token,
+                           generate_subscripts(ts, 1) AS pos) t
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = '{PHRASE[0]}' AND b.token = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search ("{P0} {P1}") via a positional inverted
+    index — the search-engine primitive BM25 ranking (q_text_bm25)
+    cannot answer: posting lists carry (doc, position), and a phrase
+    hit is an equi-join of consecutive positions (b.pos = a.pos + 1),
+    generalizing to n-word phrases as an n-way position chain. Output:
+    per-document hit count and first occurrence.
+
+    Scale shape: the index is the same (token, doc, pos) explode every
+    lexical query here builds; the phrase join FILTERS each side to
+    one term's posting list BEFORE joining (predicate pushdown under
+    the explode), so the join touches |postings(red)| x
+    |postings(widget)| candidates co-partitioned by doc_id — never
+    the full index against itself. At 100 TB the posting lists are the
+    bucketed/sorted shuffle files a search index materializes once and
+    every phrase query reuses; the adjacency join is unchanged."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    a = toks.filter(F.col("token") == PHRASE[0]).select("doc_id", "pos")
+    b = toks.filter(F.col("token") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
+
+
+q_text_phrase_search.__doc__ = q_text_phrase_search.__doc__.replace(
+    "{P0}", PHRASE[0]
+).replace("{P1}", PHRASE[1])
