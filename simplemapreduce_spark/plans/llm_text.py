@@ -1667,3 +1667,96 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_text_phrase_search.__doc__ = q_text_phrase_search.__doc__.replace(
     "{P0}", PHRASE[0]
 ).replace("{P1}", PHRASE[1])
+
+
+_KN_D = 0.75
+_KN_MIN_C = 20
+
+
+@query(
+    "q_text_kneser_ney",
+    oracle=f"""
+    WITH toks AS (SELECT {_SQL_TOKENS} AS t FROM documents),
+    bg AS (
+      SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS b FROM toks)
+      GROUP BY 1, 2
+    ),
+    ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+                   CAST(COUNT(*) AS BIGINT) AS n1p
+            FROM bg GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nleft FROM bg GROUP BY w2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbig FROM bg)
+    SELECT bg.w1, bg.w2, bg.c,
+           CAST(ROUND(
+             (bg.c - {_KN_D}) / ctx.cw1
+             + ({_KN_D} * ctx.n1p / ctx.cw1) * (CAST(cont.nleft AS DOUBLE) / tot.nbig),
+           6) AS DOUBLE) AS p_kn,
+           CAST(ROUND(CAST(bg.c AS DOUBLE) / ctx.cw1, 6) AS DOUBLE) AS p_mle
+    FROM bg JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    WHERE bg.c >= {_KN_MIN_C}
+    """,
+)
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities (Kneser &
+    Ney 1995; Chen & Goodman 1999 eq. 4.25) with fixed discount
+    D={D} — THE n-gram smoothing method, reported next to the MLE
+    estimate so the discount-and-continuation correction is visible
+    per bigram. The continuation probability is what distinguishes KN
+    from every count-ratio smoother: P_cont(w2) counts DISTINCT left
+    contexts, so a word that appears often but only after one context
+    ("Francisco") stops inheriting probability everywhere.
+
+    Exactness: all inputs to the float expression are exact integer
+    counts; both engines evaluate the IDENTICAL parenthesized
+    expression tree once per row (no float aggregation anywhere —
+    the sums/counts are integer aggregates), so the 6-decimal
+    rounding sees bit-identical doubles.
+
+    Scale shape: three hash aggregates over the bigram table (context
+    totals, continuation counts, grand total — the last a 1-row
+    broadcast) joined back on their own grain; the corpus is
+    tokenized once. This is the statistics half of an LM-pipeline's
+    n-gram stage; filtering to c >= {MC} keeps gate output bounded
+    while exercising every term."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+    )
+    bg = (
+        d.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("c"))
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count("*").alias("n1p")
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").alias("nleft"))
+    tot = bg.agg(F.count("*").alias("nbig"))
+    p_kn = (F.col("c") - _KN_D) / F.col("cw1") + (
+        _KN_D * F.col("n1p") / F.col("cw1")
+    ) * (F.col("nleft").cast("double") / F.col("nbig"))
+    return (
+        bg.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c") >= _KN_MIN_C)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(p_kn, 6).alias("p_kn"),
+            F.round(F.col("c").cast("double") / F.col("cw1"), 6).alias("p_mle"),
+        )
+    )
+
+
+q_text_kneser_ney.__doc__ = q_text_kneser_ney.__doc__.replace(
+    "{D}", str(_KN_D)
+).replace("{MC}", str(_KN_MIN_C))

@@ -2218,3 +2218,154 @@ def q_sim_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_sim_margin_mining.__doc__ = q_sim_margin_mining.__doc__.replace(
     "{K}", str(MINE_K)
 ).replace("{TH}", str(MINE_MARGIN))
+
+
+_RECALL_NPROBES = (1, 2, 4, 8)
+
+
+@query(
+    "q_sim_recall_curve",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    probe_rank AS (
+      SELECT vec_id AS query_id, e AS qe, cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prk
+      FROM dists WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, p.prk,
+             ROUND(list_cosine_similarity(p.qe, a.e), 4) AS cos_sim
+      FROM probe_rank p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    gt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(q.e, c.e), 4) AS cos_sim
+              FROM v q JOIN v c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < {N_QUERIES})
+      ) WHERE rank <= {IVF_TOP_K}
+    ),
+    np AS (SELECT unnest([{", ".join(str(p) for p in _RECALL_NPROBES)}]) AS nprobe),
+    retrieved AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT np.nprobe, s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY np.nprobe, s.query_id
+                                  ORDER BY s.cos_sim DESC, s.neighbor_id) AS rank
+        FROM np CROSS JOIN scored s WHERE s.prk <= np.nprobe
+      ) WHERE rank <= {IVF_TOP_K}
+    ),
+    cand AS (
+      SELECT np.nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM np CROSS JOIN scored s WHERE s.prk <= np.nprobe GROUP BY np.nprobe
+    )
+    SELECT r.nprobe,
+           CAST(ROUND(CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / ({N_QUERIES} * {IVF_TOP_K}), 6) AS DOUBLE)
+             AS recall_at_k,
+           CAST(ROUND(CAST(MAX(c.n_candidates) AS DOUBLE) / {N_QUERIES}, 6) AS DOUBLE)
+             AS avg_candidates
+    FROM retrieved r
+    LEFT JOIN gt g ON g.query_id = r.query_id AND g.neighbor_id = r.neighbor_id
+    JOIN cand c ON c.nprobe = r.nprobe
+    GROUP BY r.nprobe
+    """,
+)
+def q_sim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE: recall@{K} and average candidate count as
+    a function of nprobe in {NP} — the plot an ANN owner reads to pick
+    the recall/cost operating point before freezing index parameters
+    (complements q_sim_lsh_recall_eval, which measures one fixed LSH
+    configuration). Every curve point shares ONE scored pass: cells
+    are ranked per query once (prk), and nprobe=p just filters
+    prk <= p before the per-(nprobe, query) top-k window — the search
+    is not re-run per point.
+
+    Exactness: hits are integer joins against the exact brute-force
+    ground truth; recall and candidate averages are single divisions
+    of exact integers, rounded at 6dp.
+
+    Scale shape: the scored table is the same cell equi-join as
+    q_sim_ivf_topk (memoized assignment, broadcast probe ranks); the
+    curve multiplies it by |nprobes| FILTERED views, not by re-scans.
+    GT cost is the exact O(Q x N) pass — the recall-measurement
+    companion, priced like every other eval query here."""
+    v, cents, cells_sorted, assign = _ivf_index(spark, sf_dir)
+    probe_rank = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.posexplode(F.expr(cells_sorted)).alias("pos", "cell_s"),
+        )
+        .select(
+            "query_id", "qe", F.col("cell_s.cid").alias("cell"),
+            (F.col("pos") + 1).alias("prk"),
+        )
+    )
+    scored = (
+        assign.join(F.broadcast(probe_rank), ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "prk",
+            F.round(cosine_similarity(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+        )
+    )
+    gt = (
+        dense_scored(spark, sf_dir)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+            ),
+        )
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("gt_neighbor"))
+    )
+    np_df = spark.range(0).sparkSession.createDataFrame(
+        [(p,) for p in _RECALL_NPROBES], "nprobe int"
+    )
+    cand = scored.crossJoin(F.broadcast(np_df)).filter(F.col("prk") <= F.col("nprobe"))
+    wr = W.partitionBy("nprobe", "query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    retrieved = (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= IVF_TOP_K)
+    )
+    n_cand = cand.groupBy("nprobe").agg(F.count("*").alias("n_candidates"))
+    hits = retrieved.join(
+        gt,
+        (retrieved.query_id == gt.query_id)
+        & (retrieved.neighbor_id == gt.gt_neighbor),
+        "left",
+    )
+    return (
+        hits.groupBy("nprobe")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("gt_neighbor").isNotNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / (N_QUERIES * IVF_TOP_K),
+                6,
+            ).alias("recall_at_k")
+        )
+        .join(n_cand, "nprobe")
+        .select(
+            "nprobe",
+            "recall_at_k",
+            F.round(F.col("n_candidates").cast("double") / N_QUERIES, 6).alias(
+                "avg_candidates"
+            ),
+        )
+    )
+
+
+q_sim_recall_curve.__doc__ = q_sim_recall_curve.__doc__.replace(
+    "{K}", str(IVF_TOP_K)
+).replace("{NP}", str(_RECALL_NPROBES))

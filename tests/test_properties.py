@@ -292,6 +292,9 @@ def test_catalog_ops_partition_invariance(spark, sf_dir):
         # Margin mining: two K-NN window ranks + a per-source argmax,
         # all tie-broken on ids over exact-integer cosine sums.
         "q_sim_margin_mining",
+        # The recall curve ranks per-(nprobe, query) windows against a
+        # brute-force GT rank — four rank tie-breaks under one roof.
+        "q_sim_recall_curve",
     ):
         assert run(name, 3) == run(name, 17), name
 
