@@ -553,3 +553,69 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
     exec_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in exec_plan.lower(), exec_plan[:2000]
     assert "ship_month" in exec_plan
+
+
+def test_bpe_train_scan_pruned_and_vocab_sized_argmax(spark, sf_dir):
+    """q_text_bpe_train_merges: the documents scan must read ONLY the
+    text column (training never touches doc metadata), and the
+    per-round global argmax must compile to TakeOrderedAndProject over
+    the pair aggregate — a top-1 heap, never a full global sort of the
+    pair vocabulary."""
+    df = catalog.QUERIES["q_text_bpe_train_merges"](spark, sf_dir)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "text" in read_schema and "doc_id" not in read_schema, read_schema
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_classifier_single_aggregate_no_join(spark, sf_dir):
+    """q_text_classifier_linear: model inference must be scan ->
+    explode -> ONE hash aggregate — no join, no window, no Python
+    stage (the hashed-weights trick's whole point)."""
+    df = catalog.QUERIES["q_text_classifier_linear"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan, plan[:800]
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "lang" not in read_schema and "source" not in read_schema, read_schema
+
+
+def test_block_dedup_shuffles_checksum_not_payload(spark, sf_dir):
+    """q_multimodal_block_dedup: the frequency-count exchange must
+    carry the 16-byte checksum, never the block bytes — at 100 TB the
+    difference IS the operator's feasibility."""
+    df = catalog.QUERIES["q_multimodal_block_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    keys = [
+        seg.split("\n", 1)[0]
+        for seg in plan.split("Arguments: hashpartitioning(")[1:]
+    ]
+    assert keys, plan[:500]
+    # Every hash exchange keys on the derived checksum / media id —
+    # never the block or payload bytes. (The round-robin exchange under
+    # the scan is ensure_parallelism's fixture guard, not a key.)
+    assert all(k.startswith(("chk", "media_id")) for k in keys), keys
+    assert not any("payload" in k for k in keys), keys
+
+
+def test_phrase_search_filters_postings_before_join(spark, sf_dir):
+    """q_text_phrase_search: each join side must be filtered to ONE
+    term's posting list before the position join (the pushed term
+    predicate is what bounds the join at index scale)."""
+    df = catalog.QUERIES["q_text_phrase_search"](spark, sf_dir)
+    plan = _plan(df)
+    from simplemapreduce_spark.plans.llm_text import PHRASE
+
+    assert plan.count(PHRASE[0]) >= 1 and plan.count(PHRASE[1]) >= 1, plan[:800]
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_margin_mining_broadcasts_candidate_side(spark, sf_dir):
+    """q_sim_margin_mining: the label-1 candidate slice rides a
+    broadcast into the pair scoring (the big side streams), and the
+    K-NN normalizers are window ranks, not self-joins."""
+    df = catalog.QUERIES["q_sim_margin_mining"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:800]
+    assert "windowspecdefinition(x" in plan and "windowspecdefinition(y" in plan, plan[:400]
