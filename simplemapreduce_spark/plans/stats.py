@@ -1305,3 +1305,115 @@ def q_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt((nd - 1) / nd * (s2 - s1 * s1 / nd)) / 1000000.0 / 100.0, 6
         ).alias("jackknife_se"),
     )
+
+
+@query(
+    "q_trend_theil_sen",
+    oracle="""
+    WITH m AS (
+      SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS mi,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.mi AS i, b.mi AS j,
+             CAST(b.rev - a.rev AS DOUBLE) / (b.mi - a.mi) AS slope
+      FROM m a JOIN m b ON b.mi > a.mi
+    ),
+    ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, i, j) AS rk,
+             COUNT(*) OVER () AS np FROM pairs
+    ),
+    ts AS (
+      SELECT slope AS theil_sen, np FROM ranked
+      WHERE rk = CAST(ceil(np / 2.0) AS BIGINT)
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(mi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(rev AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(mi AS DECIMAL(38,0)) * CAST(mi AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(mi AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxy
+      FROM m
+    )
+    SELECT mom.n AS n_months,
+           CAST(ts.np AS BIGINT) AS n_pairs,
+           CAST(ROUND(ts.theil_sen / 100.0, 4) AS DOUBLE)
+             AS theil_sen_dollars_per_month,
+           CAST(ROUND(
+             (CAST(mom.n AS DOUBLE) * CAST(mom.sxy AS DOUBLE)
+              - CAST(mom.sx AS DOUBLE) * CAST(mom.sy AS DOUBLE))
+             / (CAST(mom.n AS DOUBLE) * CAST(mom.sxx AS DOUBLE)
+                - CAST(mom.sx AS DOUBLE) * CAST(mom.sx AS DOUBLE)) / 100.0,
+           4) AS DOUBLE) AS ols_dollars_per_month
+    FROM ts, mom
+    """,
+)
+def q_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen ROBUST trend of monthly revenue — the median of all
+    pairwise slopes (Sen 1968), the estimator that shrugs off the
+    outlier months that drag OLS around (29% breakdown point); both
+    slopes are reported so the robust-vs-least-squares gap is visible.
+
+    Exactness: monthly revenues are exact integer cents and month
+    indexes exact integers, so every pairwise slope is ONE double
+    division of integers (bit-identical across engines) and the median
+    is a rank pick over identically-ordered values with (slope, i, j)
+    total order; OLS comes from exact decimal(38,0) moments — the
+    jackknife idiom — with the single float combination at the end.
+
+    Scale shape: the pair set is QUADRATIC in the GROUP count, not the
+    row count — the aggregation to months happens first, so 7 years of
+    lineitem become ~84 rows and ~3.5k pairs regardless of corpus
+    size; the rank window runs over that bounded pair table. For
+    fine-grained series (days, devices) the production variant is
+    repeated-median or a per-partition sample of pairs — noted, not
+    needed at a monthly grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "long"
+    )
+    m = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mi")
+    ).agg(F.sum(cents).alias("rev"))
+    a = m.select(F.col("mi").alias("i"), F.col("rev").alias("ra"))
+    b = m.select(F.col("mi").alias("j"), F.col("rev").alias("rb"))
+    pairs = a.join(b, F.col("j") > F.col("i")).select(
+        "i",
+        "j",
+        ((F.col("rb") - F.col("ra")).cast("double") / (F.col("j") - F.col("i"))).alias(
+            "slope"
+        ),
+    )
+    wall = W.orderBy("slope", "i", "j")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(wall).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("np"),
+    )
+    ts = ranked.filter(
+        F.col("rk") == F.ceil(F.col("np") / 2.0).cast("long")
+    ).select(F.col("slope").alias("theil_sen"), "np")
+    dec = lambda c: c.cast("decimal(38,0)")
+    mom = m.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("mi"))).alias("sx"),
+        F.sum(dec(F.col("rev"))).alias("sy"),
+        F.sum(dec(F.col("mi")) * dec(F.col("mi"))).alias("sxx"),
+        F.sum(dec(F.col("mi")) * dec(F.col("rev"))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    ols = (
+        (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / 100.0
+    )
+    return ts.crossJoin(mom).select(
+        F.col("n").cast("long").alias("n_months"),
+        F.col("np").cast("long").alias("n_pairs"),
+        F.round(F.col("theil_sen") / 100.0, 4).alias("theil_sen_dollars_per_month"),
+        F.round(ols, 4).alias("ols_dollars_per_month"),
+    )
