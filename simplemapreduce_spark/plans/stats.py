@@ -1417,3 +1417,171 @@ def q_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("theil_sen") / 100.0, 4).alias("theil_sen_dollars_per_month"),
         F.round(ols, 4).alias("ols_dollars_per_month"),
     )
+
+
+_BOOT_B = 32
+# Poisson(1) CDF thresholds in exact integer 1e-6 units (truncated at
+# m=5: the omitted tail mass is 5.9e-4 and the truncation is applied
+# IDENTICALLY on both engines, so it is a definition, not an error).
+_POIS_CUM6 = (367879, 735759, 919699, 981012, 996340)
+
+
+def _pois_case(hx: str) -> str:
+    """SQL CASE mapping a uniform integer in [0, 1e6) to a Poisson(1)
+    multiplicity via inverse CDF — shared text for both engines."""
+    clauses = " ".join(
+        f"WHEN {hx} < {t} THEN {m}" for m, t in enumerate(_POIS_CUM6)
+    )
+    return f"CASE {clauses} ELSE 5 END"
+
+
+@query(
+    "q_bootstrap_poisson_se",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+               AS cents
+      FROM lineitem
+    ),
+    expanded AS (
+      SELECT b.b,
+             {_pois_case("(CAST('0x' || substr(md5(r.l_orderkey || '-' || r.l_linenumber || '-' || b.b), 1, 8) AS BIGINT) % 1000000)")}
+               AS m,
+             r.cents
+      FROM r CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+    ),
+    resamples AS (
+      SELECT b, CAST(SUM(m) AS BIGINT) AS nb,
+             CAST(SUM(m * cents) AS DECIMAL(38,0)) AS sb
+      FROM expanded GROUP BY b
+    ),
+    means AS (
+      SELECT b, CAST(ROUND(CAST(sb AS DOUBLE) / nb / 100.0 * 1000000, 0)
+                     AS BIGINT) AS mean6
+      FROM resamples
+    ),
+    boot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS bn,
+             CAST(SUM(CAST(mean6 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(mean6 AS DECIMAL(38,0)) * CAST(mean6 AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS s2
+      FROM means
+    ),
+    full_m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS scc
+      FROM r
+    )
+    SELECT boot.bn AS b_resamples,
+           CAST(ROUND(CAST(full_m.sc AS DOUBLE) / full_m.n / 100.0, 6) AS DOUBLE)
+             AS mean_dollars,
+           CAST(ROUND(sqrt((CAST(boot.s2 AS DOUBLE)
+                            - CAST(boot.s1 AS DOUBLE) * CAST(boot.s1 AS DOUBLE) / boot.bn)
+                           / (boot.bn - 1)) / 1000000.0, 6) AS DOUBLE)
+             AS bootstrap_se,
+           CAST(ROUND(sqrt((CAST(full_m.scc AS DOUBLE)
+                            - CAST(full_m.sc AS DOUBLE) * CAST(full_m.sc AS DOUBLE) / full_m.n)
+                           / (full_m.n - 1) / full_m.n) / 100.0, 6) AS DOUBLE)
+             AS classical_se
+    FROM boot, full_m
+    """,
+)
+def q_bootstrap_poisson_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP standard error of the mean line-revenue — the
+    map-reduce resampling method (Chamandy et al., Google 2012;
+    Kleiner's BLB is its cousin): instead of drawing n rows with
+    replacement (which needs global coordination), every row draws its
+    OWN multiplicity per resample, m ~ Poisson(1), making each of the
+    {B} resamples a one-pass weighted aggregate. Multiplicities are
+    DETERMINISTIC — inverse-CDF over an md5 hash of (row id, resample
+    id) in exact 1e-6 integer units — so the whole procedure is
+    engine-reproducible with zero RNG, same discipline as every
+    sampler here. The classical s/sqrt(n) rides along: for the plain
+    mean they must agree closely (the bootstrap's sanity anchor, and
+    the non-vacuity check pins their ratio), while the machinery
+    generalizes to statistics with no closed-form SE.
+
+    Exactness: per-resample sums are integer cents x integer
+    multiplicities in decimal(38,0); each resample mean collapses to a
+    1e-6-scaled BIGINT (the jackknife idiom) so the across-resample
+    moments are exact; full-data moments likewise. Truncating the
+    Poisson tail at m=5 (mass 5.9e-4) is part of the shared
+    definition.
+
+    Scale shape: one explode by B={B} (row-local hash per copy), one
+    (b)-keyed partial+final aggregate — B-row state; no shuffle of the
+    corpus beyond the B-way expansion, which a production run fuses
+    into the scan. Everything downstream of the B-row table is
+    driver-trivial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    hx = (
+        "conv(substring(md5(concat(l_orderkey, '-', l_linenumber, '-', b)), 1, 8),"
+        " 16, 10) % 1000000"
+    )
+    m_expr = F.expr(f"{_pois_case(f'CAST(({hx}) AS BIGINT)')}")
+    expanded = r.select("l_orderkey", "l_linenumber", "cents", b).select(
+        "b", m_expr.alias("m"), "cents"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    resamples = expanded.groupBy("b").agg(
+        F.sum("m").alias("nb"), F.sum(dec(F.col("m") * F.col("cents"))).alias("sb")
+    )
+    mean6 = F.round(
+        F.col("sb").cast("double") / F.col("nb") / 100.0 * 1000000, 0
+    ).cast("long")
+    means = resamples.select("b", mean6.alias("mean6"))
+    boot = means.agg(
+        F.count("*").alias("bn"),
+        F.sum(dec(F.col("mean6"))).alias("s1"),
+        F.sum(dec(F.col("mean6")) * dec(F.col("mean6"))).alias("s2"),
+    )
+    full_m = r.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("cents"))).alias("sc"),
+        F.sum(dec(F.col("cents")) * dec(F.col("cents"))).alias("scc"),
+    )
+    bnd = F.col("bn").cast("double")
+    nd = F.col("n").cast("double")
+    return boot.crossJoin(full_m).select(
+        F.col("bn").cast("long").alias("b_resamples"),
+        F.round(F.col("sc").cast("double") / nd / 100.0, 6).alias("mean_dollars"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1").cast("double") / bnd
+                )
+                / (bnd - 1)
+            )
+            / 1000000.0,
+            6,
+        ).alias("bootstrap_se"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("scc").cast("double")
+                    - F.col("sc").cast("double") * F.col("sc").cast("double") / nd
+                )
+                / (nd - 1)
+                / nd
+            )
+            / 100.0,
+            6,
+        ).alias("classical_se"),
+    )
+
+
+q_bootstrap_poisson_se.__doc__ = q_bootstrap_poisson_se.__doc__.replace(
+    "{B}", str(_BOOT_B)
+)

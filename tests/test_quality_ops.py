@@ -247,6 +247,13 @@ def test_round5_ops_nonvacuous(spark, sf_dir):
     from simplemapreduce_spark.plans.similarity import MINE_MARGIN  # noqa: PLC0415
     from simplemapreduce_spark.sources.tables import load_table  # noqa: PLC0415
 
+    boot = catalog.QUERIES["q_bootstrap_poisson_se"](spark, sf_dir).collect()[0]
+    # For the plain mean the bootstrap must track s/sqrt(n): with B=32
+    # the bootstrap's own noise is ~13%, so a ratio outside [0.6, 1.6]
+    # means broken multiplicities, not sampling luck.
+    ratio = boot["bootstrap_se"] / boot["classical_se"]
+    assert 0.6 < ratio < 1.6, (boot, ratio)
+
     mined = catalog.QUERIES["q_sim_margin_mining"](spark, sf_dir).collect()
     n_src = (
         load_table(spark, sf_dir, "embeddings").filter("label = 0").count()
