@@ -287,3 +287,38 @@ def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.count("*").cast("long").alias("multiplicity"))
     )
+
+
+@query(
+    "q_sql_execute_immediate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 dynamic SQL): the statement text
+    lives in a SQL-scripting variable and parameters bind via USING —
+    the session-variable + dynamic-execution surface procedural
+    migrations rely on, complementing q_sql_scripting (control flow)
+    and q_sql_parameterized (API-level binding). The oracle is the
+    equivalent static statement; parameters bind AFTER parsing, so
+    the pushed predicate reaches the scan exactly like a literal."""
+    from simplemapreduce_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ("lineitem",))
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+    spark.sql(
+        """SET VARIABLE stmt =
+           'SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS price_cents
+            FROM lineitem WHERE l_quantity >= ? GROUP BY l_returnflag'"""
+    )
+    return spark.sql("EXECUTE IMMEDIATE stmt USING 30")

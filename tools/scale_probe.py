@@ -86,6 +86,18 @@ PROBE = [
     "q_sim_ivf_incremental",
     "q_sim_ivf_kmeans_topk",
     "q_udtf_table_partition_by",
+    # Late round-5: margin mining (A x B pair scoring + two K-NN
+    # windows), phrase search (term-filtered position join), KN
+    # smoothing (three bigram-grain aggs), the IVF recall curve (one
+    # scored pass x |nprobes| filters + exact GT), Theil-Sen (pair set
+    # quadratic in GROUPS, constant in rows), and the Poisson
+    # bootstrap (B/4 digests per row, B-row agg state).
+    "q_sim_margin_mining",
+    "q_text_phrase_search",
+    "q_text_kneser_ney",
+    "q_sim_recall_curve",
+    "q_trend_theil_sen",
+    "q_bootstrap_poisson_se",
 ]
 
 
