@@ -2112,37 +2112,46 @@ def q_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
-MINE_K = 4        # neighborhood size for the margin normalizer
+MINE_K = 4          # neighborhood size for the margin normalizer
 MINE_MARGIN = 1.05  # mined-pair acceptance threshold
+MINE_BUCKET_CAP = 8  # candidate-side per-bucket cap (lowest vec_ids)
 
 
-@query(
-    "q_sim_margin_mining",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
-               FROM embeddings),
-    a AS (SELECT vec_id AS x, e FROM v WHERE label = 0),
-    b AS (SELECT vec_id AS y, e FROM v WHERE label = 1),
+def _mine_oracle() -> str:
+    bkt = _sign_bucket_sql()
+    return f"""
+    WITH a AS (
+      SELECT vec_id AS x, CAST(embedding AS DOUBLE[]) AS ae, {bkt} AS bkt
+      FROM embeddings WHERE label = 0
+    ),
+    bc AS (
+      SELECT y, be, bkt FROM (
+        SELECT vec_id AS y, CAST(embedding AS DOUBLE[]) AS be, {bkt} AS bkt,
+               ROW_NUMBER() OVER (PARTITION BY {bkt} ORDER BY vec_id) AS rk
+        FROM embeddings WHERE label = 1
+      ) WHERE rk <= {MINE_BUCKET_CAP}
+    ),
     pairs AS (
-      SELECT a.x, b.y,
-             CAST(ROUND(list_cosine_similarity(a.e, b.e) * 10000, 0) AS BIGINT)
-               AS ci
-      FROM a CROSS JOIN b
+      SELECT a.x, bc.y,
+             CAST(ROUND(list_cosine_similarity(a.ae, bc.be) * 10000, 0)
+                  AS BIGINT) AS ci
+      FROM a JOIN bc ON bc.bkt = a.bkt
     ),
     nx AS (
-      SELECT x, SUM(ci) AS sx FROM (
+      SELECT x, SUM(ci) AS sx, CAST(COUNT(*) AS BIGINT) AS kx FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY x ORDER BY ci DESC, y) AS rk
         FROM pairs) WHERE rk <= {MINE_K} GROUP BY x
     ),
     ny AS (
-      SELECT y, SUM(ci) AS sy FROM (
+      SELECT y, SUM(ci) AS sy, CAST(COUNT(*) AS BIGINT) AS ky FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY y ORDER BY ci DESC, x) AS rk
         FROM pairs) WHERE rk <= {MINE_K} GROUP BY y
     ),
     scored AS (
       SELECT p.x, p.y, p.ci,
-             CAST(p.ci AS DOUBLE) * 2 * {MINE_K} / (nx.sx + ny.sy) AS margin
+             CAST(p.ci AS DOUBLE) * (nx.kx + ny.ky) / (nx.sx + ny.sy) AS margin
       FROM pairs p JOIN nx USING (x) JOIN ny USING (y)
+      WHERE nx.sx + ny.sy > 0
     ),
     best AS (
       SELECT * FROM (
@@ -2154,54 +2163,78 @@ MINE_MARGIN = 1.05  # mined-pair acceptance threshold
            CAST(ci AS DOUBLE) / 10000 AS cos_sim,
            CAST(ROUND(margin, 6) AS DOUBLE) AS margin
     FROM best WHERE margin > {MINE_MARGIN}
-    """,
-)
+    """
+
+
+@query("q_sim_margin_mining", oracle=_mine_oracle())
 def q_sim_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based parallel-pair MINING (Artetxe & Schwenk, ACL 2019
     — the method behind LASER/CCMatrix bitext harvesting): for every
-    source vector (label 0) find the label-1 candidate whose cosine,
-    NORMALIZED by the mean of both sides' {K}-NN neighborhoods,
-    maximizes the margin; accept pairs above {TH}. The margin ratio
-    suppresses hub vectors that are near everything — the reason raw
-    cosine thresholds mine garbage at corpus scale.
+    source vector (label 0), find the label-1 candidate whose cosine,
+    NORMALIZED by the mean of both sides' top-{K} candidate
+    neighborhoods, maximizes the margin; accept pairs above {TH}. The
+    margin ratio suppresses hub vectors that are near everything —
+    the reason raw cosine thresholds mine garbage at corpus scale.
 
-    Exactness discipline: cosines are scaled to integer 1e-4 units
-    before any aggregation, so neighborhood sums are order-independent
-    integers and the margin is a single exact-integer ratio
-    (ci*2K/(sx+sy)) evaluated in one double division on both engines —
-    no float-sum ordering anywhere.
+    Candidates come from sign-bit LSH blocking (the
+    q_sim_topk_lsh_bucketed family) with the candidate side capped at
+    the {C} lowest vec_ids per bucket — the minhash hot-bucket /
+    common-neighbors truncation precedent. The cap is what bounds the
+    join output at |A| x {C}: the first exact all-pairs version of
+    this query measured scaling exponent 1.11 on the 10x dense
+    replica (quadratic pair growth); the capped-bucketed plan is the
+    shape CCMatrix actually runs (FAISS candidates, not a cross
+    product). K-NN normalizer sums use each side's ACTUAL candidate
+    count (kx + ky, not 2K), so sparse buckets normalize correctly.
 
-    Scale shape: test scale scores A x B exactly (the label slices are
-    tiny); at 100 TB the pair generation is the LSH/IVF bucketed
-    candidate join (q_sim_topk_lsh_bucketed / q_sim_ivf_topk) and the
-    neighborhood sums come from the same per-query top-K that the
-    index already answers — the margin math above is unchanged, it
-    just consumes candidate pairs instead of the cross product. Both
-    sides' K-NN tables are per-id aggregates (node-sized), joined back
-    on the pair keys."""
+    Exactness discipline: cosines scale to integer 1e-4 units before
+    any aggregation, so neighborhood sums are order-independent
+    integers and the margin is one exact-integer ratio evaluated in a
+    single double division on both engines; the sx + sy > 0 guard is
+    shared text."""
     v = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        "label",
+        _sign_bucket_col().alias("bkt"),
     )
-    a = v.filter(F.col("label") == 0).select(F.col("vec_id").alias("x"), F.col("e").alias("ae"))
-    b = v.filter(F.col("label") == 1).select(F.col("vec_id").alias("y"), F.col("e").alias("be"))
+    a = v.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("x"), F.col("e").alias("ae"), "bkt"
+    )
+    wcap = W.partitionBy("bkt").orderBy("vec_id")
+    bc = (
+        v.filter(F.col("label") == 1)
+        .withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= MINE_BUCKET_CAP)
+        .select(F.col("vec_id").alias("y"), F.col("e").alias("be"), "bkt")
+    )
     ci = F.round(cosine_similarity(F.col("ae"), F.col("be")) * 10000, 0).cast("long")
-    pairs = a.crossJoin(F.broadcast(b)).select("x", "y", ci.alias("ci"))
+    pairs = a.join(bc, "bkt").select("x", "y", ci.alias("ci"))
     wx = W.partitionBy("x").orderBy(F.desc("ci"), "y")
     nx = (
         pairs.withColumn("rk", F.row_number().over(wx))
         .filter(F.col("rk") <= MINE_K)
         .groupBy("x")
-        .agg(F.sum("ci").alias("sx"))
+        .agg(F.sum("ci").alias("sx"), F.count("*").alias("kx"))
     )
     wy = W.partitionBy("y").orderBy(F.desc("ci"), "x")
     ny = (
         pairs.withColumn("rk", F.row_number().over(wy))
         .filter(F.col("rk") <= MINE_K)
         .groupBy("y")
-        .agg(F.sum("ci").alias("sy"))
+        .agg(F.sum("ci").alias("sy"), F.count("*").alias("ky"))
     )
-    margin = F.col("ci").cast("double") * 2 * MINE_K / (F.col("sx") + F.col("sy"))
-    scored = pairs.join(nx, "x").join(ny, "y").select("x", "y", "ci", margin.alias("margin"))
+    margin = (
+        F.col("ci").cast("double")
+        * (F.col("kx") + F.col("ky"))
+        / (F.col("sx") + F.col("sy"))
+    )
+    scored = (
+        pairs.join(nx, "x")
+        .join(ny, "y")
+        .filter(F.col("sx") + F.col("sy") > 0)
+        .select("x", "y", "ci", margin.alias("margin"))
+    )
     wbest = W.partitionBy("x").orderBy(F.desc("margin"), "y")
     return (
         scored.withColumn("rk", F.row_number().over(wbest))
@@ -2217,7 +2250,7 @@ def q_sim_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_sim_margin_mining.__doc__ = q_sim_margin_mining.__doc__.replace(
     "{K}", str(MINE_K)
-).replace("{TH}", str(MINE_MARGIN))
+).replace("{TH}", str(MINE_MARGIN)).replace("{C}", str(MINE_BUCKET_CAP))
 
 
 _RECALL_NPROBES = (1, 2, 4, 8)
