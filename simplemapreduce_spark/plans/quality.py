@@ -545,3 +545,72 @@ def q_text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_STALE_SECONDS = 120
+
+
+@query(
+    "q_freshness_audit",
+    oracle=f"""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    per AS (
+      SELECT event_type,
+             MAX(ts) AS last_seen,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type,
+           p.last_seen,
+           p.n_events,
+           CAST((epoch_us(g.gmax) - epoch_us(p.last_seen)) // 1000000 AS BIGINT)
+             AS lag_seconds,
+           CAST((epoch_us(g.gmax) - epoch_us(p.last_seen)) // 1000000
+                > {_STALE_SECONDS} AS INTEGER) AS is_stale
+    FROM per p, g
+    """,
+)
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-FRESHNESS audit (the staleness monitor every ingestion SLA
+    dashboard runs): per event stream, the last-seen event time, its
+    lag behind the newest event anywhere in the table, and a stale
+    flag at a {H}-hour threshold — the signal that one upstream
+    producer silently stopped while the table as a whole keeps
+    growing. Lag in whole seconds by integer epoch-microsecond floor
+    division (the q_udtf_table_partition_by discipline — float
+    epoch() truncation diverges on microsecond-carrying fixtures).
+
+    Scale shape: one partial+final MAX/COUNT aggregate at the stream
+    grain plus a 1-row broadcast global max — two scans of the ts
+    column or one with a grouping-sets rewrite; no shuffle beyond the
+    |streams|-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_seen"), F.count("*").alias("n_events")
+    )
+    lag = (
+        F.floor(
+            (
+                F.unix_micros(F.col("gmax").cast("timestamp"))
+                - F.unix_micros(F.col("last_seen").cast("timestamp"))
+            )
+            / 1000000
+        )
+    ).cast("long")
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "last_seen",
+        F.col("n_events").cast("long").alias("n_events"),
+        lag.alias("lag_seconds"),
+        (lag > _STALE_SECONDS).cast("int").alias("is_stale"),
+    )
+
+
+q_freshness_audit.__doc__ = q_freshness_audit.__doc__.replace(
+    "{H}", str(_STALE_SECONDS)
+)
+# The 120 s SLA is chosen to SPLIT at every fixture SF (stale and
+# fresh streams both present: 4/1 at sf0.001 and sf0.01, 1/4 at
+# sf0.1) — a threshold no fixture ever crosses would verify the flag
+# vacuously (the 6h first draft fired only at sf0.001).
