@@ -1445,10 +1445,17 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("ce"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("rel4").desc(), "cand_id")
-    c = (
+    # The candidate pool feeds THREE branches (both pairwise-sim sides
+    # + the relevance list) and every greedy round chains windows on
+    # top — clip the corpus-scan lineage once (|Q| x CAND_K rows).
+    from simplemapreduce_spark.cache import memo_local_checkpoint, table_stamp
+
+    c = memo_local_checkpoint(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MMR_CAND_K)
-        .drop("rn")
+        .drop("rn"),
+        f"sim.mmr_candidates:{sf_dir}",
+        table_stamp(sf_dir, "embeddings"),
     )
     # Pairwise candidate sims: |Q| x K x (K-1) rows — tiny, row-local.
     a = c.select(
