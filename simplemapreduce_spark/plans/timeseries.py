@@ -1553,3 +1553,109 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drawdown_frac"),
         )
     )
+
+
+_DECOMP_HALF = 12  # centered trend window: +-12 hours (25-tap)
+
+
+@query(
+    "q_ts_seasonal_decompose",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    trended AS (
+      SELECT h, cents,
+             AVG(CAST(cents AS DOUBLE)) OVER (
+               ORDER BY h ROWS BETWEEN {_DECOMP_HALF} PRECEDING
+                              AND {_DECOMP_HALF} FOLLOWING) AS trend
+      FROM hourly
+    ),
+    detr AS (
+      SELECT h % 24 AS hod,
+             CAST(ROUND((cents - trend) * 100, 0) AS BIGINT) AS d6
+      FROM trended
+    ),
+    seas AS (
+      SELECT hod, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(d6) AS BIGINT) AS sd6,
+             CAST(ROUND(CAST(SUM(d6) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+               AS seasonal6
+      FROM detr GROUP BY hod
+    )
+    SELECT d.hod, s.n_hours,
+           CAST(ROUND(s.seasonal6 / 10000.0, 4) AS DOUBLE) AS seasonal_dollars,
+           CAST(ROUND(CAST(SUM(ABS(d.d6 - s.seasonal6)) AS DOUBLE)
+                      / s.n_hours / 10000.0, 4) AS DOUBLE) AS mad_residual_dollars
+    FROM detr d JOIN seas s USING (hod)
+    GROUP BY d.hod, s.n_hours, s.seasonal6
+    """,
+)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical SEASONAL DECOMPOSITION of the hourly value series —
+    trend (centered {T}-tap moving average), hour-of-day seasonal
+    profile (mean of the detrended series per hour slot), and the
+    mean-absolute residual left over per slot: the additive
+    decomposition behind every 'is this spike seasonal or anomalous'
+    triage, complementing the de-seasonalized z-score detector
+    (q_events_anomaly_seasonal) with the decomposition itself.
+
+    Exactness: hourly sums are integer cents; the trend is one double
+    division of exact sums per row; every cross-row aggregation after
+    that works on 1e-2-scaled-cent BIGINTs (detrended values, the
+    per-slot seasonal effect, residual absolute deviations) — no
+    float sum ever, so engine summation order cannot move a digit.
+
+    Scale shape: the series grain is bounded (hours over the data's
+    span), so the unpartitioned centered window runs over a
+    vocabulary-sized table — the production variant over millions of
+    series partitions the identical window by series key. Everything
+    else is two hash aggregates and one 24-row join."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        (epoch_micros("ts") / 3_600_000_000).cast("bigint").alias("h")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    wt = W.orderBy("h").rowsBetween(-_DECOMP_HALF, _DECOMP_HALF)
+    trended = hourly.select(
+        "h", "cents", F.avg(F.col("cents").cast("double")).over(wt).alias("trend")
+    )
+    detr = trended.select(
+        (F.col("h") % 24).alias("hod"),
+        F.round((F.col("cents") - F.col("trend")) * 100, 0).cast("long").alias("d6"),
+    )
+    seas = detr.groupBy("hod").agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.sum("d6").cast("double") / F.count("*"), 0)
+        .cast("long")
+        .alias("seasonal6"),
+    )
+    return (
+        detr.join(seas, "hod")
+        .groupBy("hod", "n_hours", "seasonal6")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("d6") - F.col("seasonal6"))).cast("double")
+                / F.col("n_hours")
+                / 10000.0,
+                4,
+            ).alias("mad_residual_dollars")
+        )
+        .select(
+            "hod",
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.round(F.col("seasonal6") / 10000.0, 4).alias("seasonal_dollars"),
+            "mad_residual_dollars",
+        )
+    )
+
+
+q_ts_seasonal_decompose.__doc__ = q_ts_seasonal_decompose.__doc__.replace(
+    "{T}", str(2 * _DECOMP_HALF + 1)
+)
