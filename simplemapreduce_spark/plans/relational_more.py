@@ -100,22 +100,35 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_bitwise",
     oracle="""
-    SELECT l_returnflag,
-           BIT_AND(l_linenumber) AS flags_and,
-           BIT_OR(l_linenumber) AS flags_or,
-           BIT_XOR(l_linenumber) AS flags_xor
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH per_order AS (
+      SELECT l_orderkey,
+             BIT_AND(l_linenumber) AS flags_and,
+             BIT_OR(l_linenumber) AS flags_or,
+             BIT_XOR(l_linenumber) AS flags_xor
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT flags_and, flags_or, flags_xor,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per_order GROUP BY 1, 2, 3
     """,
 )
 def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise aggregates (set-membership style rollups over small int
-    domains); partial+final hash agg, integer-exact."""
+    domains) at the ORDER grain, histogrammed by the (AND, OR, XOR)
+    combination — partial+final hash agg, integer-exact. Grain note
+    (round-5 vacuity audit): the original per-returnflag grouping
+    pooled every line number 1..7 into each group, so BIT_AND was
+    constant 0 and BIT_OR constant 7 — results a broken aggregate
+    could fake; per-order groups are 1-7 rows, so all three aggregates
+    vary across output rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    per_order = li.groupBy("l_orderkey").agg(
         F.expr("bit_and(l_linenumber)").alias("flags_and"),
         F.expr("bit_or(l_linenumber)").alias("flags_or"),
         F.expr("bit_xor(l_linenumber)").alias("flags_xor"),
+    )
+    return per_order.groupBy("flags_and", "flags_or", "flags_xor").agg(
+        F.count("*").alias("n_orders")
     )
 
 
