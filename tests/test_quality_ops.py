@@ -260,3 +260,41 @@ def test_round5_ops_nonvacuous(spark, sf_dir):
     )
     assert 0 < len(mined) < n_src, (len(mined), n_src)  # threshold must bite
     assert all(r["margin"] > MINE_MARGIN for r in mined)
+
+
+# Intentional constant flags: zero-WITNESS columns whose constancy IS
+# the assertion (try_cast on corrupt input must never succeed).
+_CONSTANT_INT_FLAG_ALLOWLIST = {
+    ("q_scalar_try", "n_bad_cast_ok"),
+    ("q_scalar_try", "n_bad_ts_ok"),
+}
+
+_FLAG_PREFIXES = ("is_", "has_", "keep", "flag", "stale", "ok", "within", "valid")
+_FLAG_SUFFIXES = ("_ok", "_flag", "_stale")
+
+
+def test_no_vacuous_int_flag_outputs(spark, sf_dir):
+    """Round-5 audit, pinned: integer FLAG columns (is_*/keep/_ok/...)
+    must show more than one value on the fixture, same rationale as
+    the boolean guard — a constant flag cannot distinguish a reversed
+    or broken predicate (this audit caught q_agg_bitwise's AND/OR
+    pooled to constants and q_freshness_audit's first-draft SLA that
+    never fired at gate scale). Witness columns whose constancy IS
+    the assertion are allowlisted."""
+    for name, fn in sorted(catalog.QUERIES.items()):
+        if name.startswith("q_stream") or name.startswith("mr_"):
+            continue
+        df = fn(spark, sf_dir)
+        flagcols = [
+            c
+            for c, t in df.dtypes
+            if t in ("int", "bigint", "tinyint")
+            and (c.startswith(_FLAG_PREFIXES) or c.endswith(_FLAG_SUFFIXES))
+            and (name, c) not in _CONSTANT_INT_FLAG_ALLOWLIST
+        ]
+        if not flagcols:
+            continue
+        rows = df.select(*flagcols).collect()
+        for c in flagcols:
+            vals = {r[c] for r in rows}
+            assert len(vals) > 1, f"{name}.{c}: constant {vals}"
