@@ -322,3 +322,40 @@ def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem WHERE l_quantity >= ? GROUP BY l_returnflag'"""
     )
     return spark.sql("EXECUTE IMMEDIATE stmt USING 30")
+
+
+@query(
+    "q_sql_join_hints",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS acctbal_cents
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL optimizer HINTS — BROADCAST on the join plus
+    REPARTITION(8, c_nationkey) on the probe side: the escape hatch for when statistics mislead Catalyst (a
+    misestimated dimension spilling to sort-merge is a classic 100 TB
+    incident). Hints must change the PHYSICAL plan without touching
+    results: the oracle is the unhinted semantic statement, and
+    tests/test_plans.py asserts the broadcast actually happened. The
+    repartition hint doubles as the explicit pre-shuffle surface
+    (SQL's equivalent of df.repartition(n, key))."""
+    from simplemapreduce_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */
+               n.n_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS acctbal_cents
+        FROM (SELECT /*+ REPARTITION(8, c_nationkey) */ * FROM customer) c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        """
+    )

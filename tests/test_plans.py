@@ -619,3 +619,15 @@ def test_margin_mining_broadcasts_candidate_side(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:800]
     assert "windowspecdefinition(x" in plan and "windowspecdefinition(y" in plan, plan[:400]
+
+
+def test_sql_hints_change_physical_plan(spark, sf_dir):
+    """q_sql_join_hints: the BROADCAST hint must produce a
+    BroadcastHashJoin and the REPARTITION hint an explicit
+    hash-partitioning exchange on the hinted key — hints are only
+    worth their surface if they demonstrably reach the physical
+    plan."""
+    df = catalog.QUERIES["q_sql_join_hints"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:600]
+    assert "hashpartitioning(c_nationkey" in plan, plan[:600]
