@@ -2409,3 +2409,51 @@ def q_sim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_sim_recall_curve.__doc__ = q_sim_recall_curve.__doc__.replace(
     "{K}", str(IVF_TOP_K)
 ).replace("{NP}", str(_RECALL_NPROBES))
+
+
+@query(
+    "q_sim_index_health",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    occ AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM assign GROUP BY cell
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST({N_CENTROIDS} - COUNT(*) AS BIGINT) AS n_empty_cells,
+           CAST(MIN(n) AS BIGINT) AS min_occupancy,
+           CAST(MAX(n) AS BIGINT) AS max_occupancy,
+           CAST(ROUND(SUM(n) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+             AS mean_occupancy,
+           CAST(ROUND(MAX(n) * CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS DOUBLE)
+             AS skew_ratio
+    FROM occ
+    """,
+)
+def q_sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index HEALTH report — the monitoring step that closes the
+    index lifecycle (build: q_sim_ivf_topk; serve: the top-k family;
+    maintain: q_sim_ivf_incremental): cell count, empty cells, min/
+    max/mean occupancy and the max/mean skew ratio. Skewed cells are
+    the ANN equivalent of hot shuffle partitions — a cell holding 10x
+    its share makes every probe touching it 10x slower and is the
+    trigger for re-training or cell splitting; the report is what a
+    vector store's admin dashboard tails.
+
+    Exactness: occupancies are exact integers; the two ratios are
+    single divisions of exact integers, rounded at 6dp.
+
+    Scale shape: one hash aggregate over the memoized assignment
+    table to cell grain (K rows), then a K-row rollup — free at any
+    corpus size once the index exists."""
+    _, _, _, assign = _ivf_index(spark, sf_dir)
+    occ = assign.groupBy("cell").agg(F.count("*").alias("n"))
+    return occ.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        (F.lit(N_CENTROIDS) - F.count("*")).cast("long").alias("n_empty_cells"),
+        F.min("n").cast("long").alias("min_occupancy"),
+        F.max("n").cast("long").alias("max_occupancy"),
+        F.round(F.sum("n") / F.count("*").cast("double"), 6).alias("mean_occupancy"),
+        F.round(
+            F.max("n") * F.count("*").cast("double") / F.sum("n"), 6
+        ).alias("skew_ratio"),
+    )
