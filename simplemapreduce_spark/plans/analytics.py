@@ -999,3 +999,120 @@ def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_new").cast("double") / F.count("*").cast("double"), 6
         ).alias("new_frac"),
     )
+
+
+_MARKOV_ITERS = 3
+_PI_SCALE = 1_000_000_000  # stationary mass in 1e-9 units (exact BIGINT)
+
+
+def _markov_oracle() -> str:
+    parts = [
+        """seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    counted AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+               FROM counted GROUP BY from_type),
+    states AS (SELECT DISTINCT from_type AS s FROM counted)""",
+        f"""pi0 AS (
+      SELECT s, CAST({_PI_SCALE} // (SELECT COUNT(*) FROM states) AS BIGINT)
+               AS mass
+      FROM states)""",
+    ]
+    for k in range(1, _MARKOV_ITERS + 1):
+        parts.append(
+            f"""pi{k} AS (
+      SELECT c.to_type AS s,
+             CAST(SUM(CAST(ROUND(CAST(p.mass AS DOUBLE) * c.n / t.tot, 0)
+                           AS BIGINT)) AS BIGINT) AS mass
+      FROM pi{k - 1} p
+      JOIN counted c ON c.from_type = p.s
+      JOIN totals t ON t.from_type = p.s
+      GROUP BY c.to_type)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS step, s AS event_type, "
+        f"CAST(ROUND(CAST(mass AS DOUBLE) / {_PI_SCALE}, 6) AS DOUBLE) AS prob "
+        f"FROM pi{k}"
+        for k in range(_MARKOV_ITERS + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + sel
+
+
+@query("q_markov_stationary", oracle=_markov_oracle())
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by
+    {R} unrolled POWER ITERATIONS over the transition matrix
+    (q_event_transitions' estimate) from a uniform start — where does
+    a user's session settle long-run, the quantity behind
+    PageRank-style engagement weighting of event types (and the fifth
+    member of the unrolled-iteration family: PageRank, Bellman-Ford,
+    k-core, LPA). Every intermediate distribution is emitted
+    (step 0..{R}), pinning the whole trajectory, not one fixed point.
+
+    Exactness: the distribution lives in exact 1e-9-unit BIGINT mass;
+    each propagation term rounds ONE double product (mass * n / tot of
+    exact integers) back to integer before the sum, so cross-engine
+    float-summation order cannot move a digit — the scaled-integer
+    recursion idiom of the EWMA/jackknife family.
+
+    Scale shape: the chain state is |event types| rows; each round is
+    one broadcast-sized join against the |types|^2 transition matrix.
+    The only corpus-sized work is the one LEAD window that estimates
+    the matrix — shared shape with q_event_transitions."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    counted = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    from simplemapreduce_spark.cache import memo_local_checkpoint, table_stamp
+
+    # |types|^2 rows; three rounds + totals all read it — clip the
+    # corpus-window lineage once.
+    counted = memo_local_checkpoint(
+        counted, f"analytics.markov_matrix:{sf_dir}", table_stamp(sf_dir, "events")
+    )
+    totals = counted.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    matrix = counted.join(totals, "from_type")
+    states = counted.select(F.col("from_type").alias("s")).distinct()
+    n_states = states.count()  # |event types| — driver-side by design
+    pi = states.select("s", F.lit(_PI_SCALE // n_states).cast("long").alias("mass"))
+    out = pi.select(F.lit(0).alias("step"), F.col("s").alias("event_type"),
+                    F.round(F.col("mass").cast("double") / _PI_SCALE, 6).alias("prob"))
+    for k in range(1, _MARKOV_ITERS + 1):
+        term = F.round(
+            F.col("mass").cast("double") * F.col("n") / F.col("tot"), 0
+        ).cast("long")
+        pi = (
+            pi.join(matrix, pi.s == matrix.from_type)
+            .select(F.col("to_type").alias("s"), term.alias("m"))
+            .groupBy("s")
+            .agg(F.sum("m").alias("mass"))
+        )
+        out = out.unionByName(
+            pi.select(
+                F.lit(k).alias("step"),
+                F.col("s").alias("event_type"),
+                F.round(F.col("mass").cast("double") / _PI_SCALE, 6).alias("prob"),
+            )
+        )
+    return out
+
+
+q_markov_stationary.__doc__ = q_markov_stationary.__doc__.replace(
+    "{R}", str(_MARKOV_ITERS)
+)
