@@ -99,6 +99,11 @@ EXTENDED = [
     "q_text_bpe_train_merges",
     "q_multimodal_block_dedup",
     "q_graph_label_propagation",
+    # Late round-5: the margin-mining plan was rewritten from exact
+    # all-pairs (probe exponent 1.11) to LSH-blocked capped candidates
+    # (0.08) — keep its steady state on the trend line so a silent
+    # regression back toward pair explosion is visible.
+    "q_sim_margin_mining",
 ]
 
 
