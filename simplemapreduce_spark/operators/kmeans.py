@@ -157,6 +157,11 @@ def kmeans_fit(
             .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
         )
     spark = vectors.sparkSession
+    # Seed `rows` from the init centroids so the memo store below is
+    # defined even for iters=0 (otherwise `rows` is unbound when the
+    # Lloyd loop never runs).
+    rows = cent.collect()
+    cent = spark.createDataFrame(rows, schema="cid bigint, ce array<double>")
     for _ in range(iters):
         assigned = assign_cells(vectors, cent)
         new_cent = update_centroids(assigned)

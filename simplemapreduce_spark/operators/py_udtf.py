@@ -248,7 +248,10 @@ def q_udtf_table_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT user_id, n_events, max_gap_s
-        FROM smr_gap_stats(TABLE(SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us,
+        FROM smr_gap_stats(TABLE(SELECT user_id,
+                                        timestampdiff(MICROSECOND,
+                                                      TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                                                      ts) AS ts_us,
                                         event_id FROM events_tbl)
                            PARTITION BY user_id ORDER BY (ts_us, event_id))
         """

@@ -555,6 +555,10 @@ def q_multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency count."""
     media = documents_as_media(ensure_parallelism(load_table(spark, sf_dir, "documents")))
     n_blocks = F.ceil(F.col("byte_len") / F.lit(float(_BLOCK_SZ))).cast("long")
+    # Empty payloads must emit ZERO block rows, matching the oracle's
+    # range(0, 0): sequence(0, -1) would default to step -1 and produce
+    # two phantom blocks [0, -1] whenever byte_len = 0.
+    media = media.filter(F.col("byte_len") > 0)
     blocks = media.select(
         "media_id",
         F.explode(F.sequence(F.lit(0).cast("long"), n_blocks - 1)).alias("i"),

@@ -768,7 +768,8 @@ def _lpa_oracle() -> str:
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
                  CAST(MAX(n) AS BIGINT) AS max_community
           FROM (SELECT label, COUNT(*) AS n FROM lab{r} GROUP BY label)) c,
-         (SELECT CAST(SUM(node * label) AS BIGINT) AS checksum FROM lab{r}) s"""
+         (SELECT CAST(SUM(CAST(node AS DECIMAL(19,0)) * CAST(label AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) AS checksum FROM lab{r}) s"""
         )
     return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(reports)
 
@@ -869,8 +870,14 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("long").alias("max_community"),
         )
     )
+    # Accumulate the checksum in decimal(38,0) (the jackknife idiom,
+    # plans/stats.py): an int64 node*label product can exceed BIGINT at
+    # large scale factors, where non-ANSI Spark would wrap silently
+    # while DuckDB's HUGEINT sum errors on the BIGINT cast — the two
+    # engines diverging differently instead of failing together.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
     chk = tagged.groupBy("stage").agg(
-        F.sum(F.col("node") * F.col("label")).cast("long").alias("checksum")
+        F.sum(dec("node") * dec("label")).cast("decimal(38,0)").alias("checksum")
     )
     return comm.join(chk, "stage").select(
         "stage", "n_communities", "max_community", "checksum"

@@ -574,11 +574,15 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-FRESHNESS audit (the staleness monitor every ingestion SLA
     dashboard runs): per event stream, the last-seen event time, its
     lag behind the newest event anywhere in the table, and a stale
-    flag at a {H}-hour threshold — the signal that one upstream
+    flag at a {H}-second SLA — the signal that one upstream
     producer silently stopped while the table as a whole keeps
     growing. Lag in whole seconds by integer epoch-microsecond floor
     division (the q_udtf_table_partition_by discipline — float
-    epoch() truncation diverges on microsecond-carrying fixtures).
+    epoch() truncation diverges on microsecond-carrying fixtures),
+    with epoch extraction via functions.time.epoch_micros so the
+    result is independent of spark.sql.session.timeZone (a plain
+    unix_micros(cast) routes NTZ→LTZ through the session zone and
+    would skew lag across a DST transition vs DuckDB epoch_us).
 
     Scale shape: one partial+final MAX/COUNT aggregate at the stream
     grain plus a 1-row broadcast global max — two scans of the ts
@@ -589,14 +593,10 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ev.groupBy("event_type").agg(
         F.max("ts").alias("last_seen"), F.count("*").alias("n_events")
     )
+    from simplemapreduce_spark.functions.time import epoch_micros
+
     lag = (
-        F.floor(
-            (
-                F.unix_micros(F.col("gmax").cast("timestamp"))
-                - F.unix_micros(F.col("last_seen").cast("timestamp"))
-            )
-            / 1000000
-        )
+        F.floor((epoch_micros("gmax") - epoch_micros("last_seen")) / 1000000)
     ).cast("long")
     return per.crossJoin(F.broadcast(g)).select(
         "event_type",
