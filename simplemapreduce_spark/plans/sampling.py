@@ -136,7 +136,10 @@ def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject: per-partition top-k heaps, no global sort
     materialization. The full-epoch variant is the same expression via
     orderBy (range-partitioned total sort) or repartitionByRange on
-    the key when only per-shard order matters."""
+    the key when only per-shard order matters. The unpartitioned
+    row_number (and its WindowExec single-partition warning) applies
+    to the k-row head AFTER the TakeOrdered limit — a constant-size
+    input by construction, never the corpus."""
     d = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string")))
     from pyspark.sql import Window as W
