@@ -98,6 +98,17 @@ PROBE = [
     "q_sim_recall_curve",
     "q_trend_theil_sen",
     "q_bootstrap_poisson_se",
+    # Round-6 (VERDICT r5 #5): one representative each from the five
+    # never-probed families — rolling correlation (two nested range
+    # frames), Markov stationary distribution (unrolled power iteration
+    # over the transition matrix), bitmap distinct-count aggregation,
+    # snapshot diff (full-outer join of two corpus snapshots), and the
+    # lateral per-group top-n.
+    "q_window_rolling_corr",
+    "q_markov_stationary",
+    "q_agg_bitmap_distinct",
+    "q_snapshot_diff",
+    "q_join_lateral_topn",
 ]
 
 
