@@ -270,12 +270,31 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window; this one owns the state machine, which is what a
     pipeline needs the moment session state is richer than an
     aggregate (e.g. carrying the session's first referrer)."""
-    import pandas as pd
-
-    from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS, micros_to_ntz
+    from simplemapreduce_spark.functions.time import micros_to_ntz
     from simplemapreduce_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
+    sess = sessionize_stateful_stream(stream_events(spark, sf_dir))
+    out = run_stream_to_table(sess, "append")
+    return out.select(
+        "user_id",
+        micros_to_ntz(F.col("start_us")).alias("session_start"),
+        micros_to_ntz(F.col("last_us")).alias("session_end"),
+        "n_events",
+        "closed_by",
+    )
+
+
+def sessionize_stateful_stream(events: DataFrame) -> DataFrame:
+    """The sessionize state machine as a reusable STREAMING DataFrame
+    (watermark + applyInPandasWithState, append mode) over any
+    event-time source — shared by the catalog query above and the
+    checkpoint kill-and-resume fault test, so the recovery test
+    exercises the exact production state machine, not a copy."""
+    import pandas as pd
+
+    from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS
+
     gap_us = SESSION_GAP_MICROS
 
     def update(key, pdfs, state: GroupState):
@@ -309,26 +328,26 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur[1] = t
             cur[2] += 1
         state.update(tuple(cur))
-        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        # Clamp the timeout to strictly-after the current watermark:
+        # on an out-of-order source (multi-file replay, late-tolerant
+        # ingest) the watermark can already exceed last_ts + gap, and
+        # Spark rejects a timeout at-or-before the watermark. Clamping
+        # fires the timeout on the next batch — the earliest legal
+        # moment, same closure semantics. Single-batch replays (the
+        # catalog query) never hit the clamp: their watermark is still
+        # the epoch default while the only batch runs.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((cur[1] + gap_us) // 1000, wm_ms + 1))
         if out:
             yield pd.DataFrame(
                 out,
                 columns=["user_id", "start_us", "last_us", "n_events", "closed_by"],
             )
 
-    sess = (
-        stream_events(spark, sf_dir)
-        .withWatermark("ts", "30 minutes")
+    return (
+        events.withWatermark("ts", "30 minutes")
         .groupBy("user_id")
         .applyInPandasWithState(
             update, _SESS_OUT, _SESS_STATE, "append", GroupStateTimeout.EventTimeTimeout
         )
-    )
-    out = run_stream_to_table(sess, "append")
-    return out.select(
-        "user_id",
-        micros_to_ntz(F.col("start_us")).alias("session_start"),
-        micros_to_ntz(F.col("last_us")).alias("session_end"),
-        "n_events",
-        "closed_by",
     )

@@ -220,3 +220,89 @@ def test_late_drop_actually_drops_and_keeps(spark, sf_dir):
     got = q_stream_late_drop(spark, sf_dir).agg(F.sum("n").alias("s")).first()["s"]
     assert got < n_total          # late odd rows were dropped
     assert got >= int(0.9 * n_even)  # the on-time half survived
+
+
+def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
+    """Kill the stateful sessionizer mid-replay and restart it from the
+    checkpoint: the final output must equal an uninterrupted run's — i.e.
+    BOTH the source offsets AND the applyInPandasWithState per-user
+    session state (open sessions, event-time timeout timestamps, the
+    watermark) recover from the state store. This is the fault mode the
+    offset-only restart test above cannot see: a stateful operator that
+    lost its state would re-open sessions at the wrong start timestamp
+    or double-emit gap closures. The sink is the transactional FILE
+    sink (memory sink cannot recover from a checkpoint), so the
+    comparison is exact — the metadata log dedups any batch that was
+    written pre-kill and replayed post-kill."""
+    from simplemapreduce_spark.functions.time import ntz_as_event_time
+    from simplemapreduce_spark.streaming.stateful import sessionize_stateful_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = ev.schema
+    # TIME-RANGED files (a real log replay arrives roughly in order):
+    # each micro-batch advances the watermark by one time slice, so
+    # sessions genuinely open, extend, gap-close and timeout-close
+    # ACROSS batches — the state the kill must not lose. The round-
+    # robin multi_file_events fixture would instead put the global max
+    # ts in batch 1 and watermark-drop nearly everything after.
+    ranged = os.path.join(tempfile.gettempdir(), "smr_scratch", "events_timeranged")
+    ev.repartitionByRange(N_FILES, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(ranged)
+
+    def source():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ranged)
+            .withColumn("ts", ntz_as_event_time("ts"))
+        )
+
+    def start(out, ckpt, **trigger):
+        return (
+            sessionize_stateful_stream(source())
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(**trigger)
+            .start()
+        )
+
+    def rows(out):
+        return {
+            (r.user_id, r.start_us, r.last_us, r.n_events, r.closed_by)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # Uninterrupted reference over the SAME source and batching (same
+    # per-batch watermark progression, hence identical late-drop and
+    # timeout decisions).
+    ref_out = str(tmp_path / "out_ref")
+    ref_q = start(ref_out, str(tmp_path / "ckpt_ref"), availableNow=True)
+    assert ref_q.awaitTermination(300)
+    ref_q.stop()
+    ref = rows(ref_out)
+    assert ref, "reference run produced no sessions; fixture changed?"
+
+    # Run 1: kill after the first micro-batch commits, mid-replay.
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q1 = start(out, ckpt, processingTime="200 milliseconds")
+    deadline = time.time() + 120
+    while not q1.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    q1.stop()
+    batches1 = len(q1.recentProgress)
+
+    # Run 2: resume from the checkpoint and drain what remains.
+    q2 = start(out, ckpt, availableNow=True)
+    assert q2.awaitTermination(300)
+    q2.stop()
+    resumed_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+
+    assert rows(out) == ref
+    # The kill must have been mid-replay for the resume to be
+    # meaningful: run 2 consumed input unless run 1 genuinely drained
+    # every file before the stop landed.
+    assert resumed_rows > 0 or batches1 >= N_FILES
