@@ -109,6 +109,17 @@ PROBE = [
     "q_agg_bitmap_distinct",
     "q_snapshot_diff",
     "q_join_lateral_topn",
+    # Round-6 second wave: the most expensive round-6 driver-window
+    # entries (q20's nested per-group share threshold, the cluster-
+    # aware split's connected components, dedup apply's anti-join) and
+    # representatives of the still-never-probed modules (correlated
+    # subquery, bucketed co-located join, SCD2 merge).
+    "q20_excess_share_suppliers",
+    "q_split_cluster_aware",
+    "q_dedup_apply",
+    "q_subquery_correlated",
+    "q_join_bucketed",
+    "q_merge_scd2",
 ]
 
 
