@@ -1325,7 +1325,15 @@ def q_ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("kind") == 1)
     )
-    stale_secs = F.unix_timestamp("ts") - F.unix_timestamp("ats")
+    # Per-timestamp second floors via wall-clock epoch arithmetic
+    # (functions/time.py): unix_timestamp on an NTZ column routes
+    # through the session timezone, and the DIFFERENCE of two such
+    # casts shifts by the offset delta across a DST transition — the
+    # round-5 advice hazard. DuckDB date_diff('second', a, b) is
+    # floor(epoch(b)) - floor(epoch(a)); mirror it exactly.
+    stale_secs = F.floor(epoch_micros("ts") / 1_000_000) - F.floor(
+        epoch_micros("ats") / 1_000_000
+    )
     ok = F.col("ak").isNotNull() & (stale_secs <= _ASOF_TOL_SECS)
     return filled.select(
         "event_id",

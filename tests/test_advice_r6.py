@@ -56,7 +56,13 @@ def test_udtf_gap_and_freshness_match_under_nonutc_session(spark, sf_dir):
     """The two queries the advice flagged must return identical rows
     under a DST-observing session timezone (the grading driver builds
     its own session and may not pin UTC)."""
-    for name in ("q_udtf_table_partition_by", "q_freshness_audit"):
+    for name in (
+        "q_udtf_table_partition_by",
+        "q_freshness_audit",
+        # found by the round-6 sweep for the same pattern: staleness
+        # seconds via unix_timestamp over NTZ columns
+        "q_ts_asof_tolerance",
+    ):
         fn = catalog.QUERIES[name]
         base = sorted(map(tuple, fn(spark, sf_dir).collect()))
         old_tz = spark.conf.get("spark.sql.session.timeZone")
