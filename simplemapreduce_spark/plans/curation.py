@@ -29,9 +29,15 @@ _SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
 # Spark-side bigram array from a `toks` array column (same construction
 # as plans/llm_text.py q_text_bigrams).
+# Guarded for < 2 tokens: sequence(1, 0) steps DOWN to [1, 0] and
+# element_at(toks, 0) is an invalid index (Spark arrays are 1-based) —
+# a single-token document would ERROR, and an empty one would emit
+# phantom NULL bigrams, while DuckDB's half-open range(1, len) is just
+# empty. Same hazard class as the round-5 block-dedup advice.
 _BIGRAMS_EXPR = (
+    "if(size(toks) < 2, array(), "
     "transform(sequence(1, size(toks) - 1), "
-    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
 )
 
 
@@ -143,6 +149,11 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-aware chunker swaps the substring for a token-slice; the
     plan shape is identical.)"""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Empty-document audit (round 6): BOTH engines divide (length-1) by
+    # the stride with truncate-toward-zero semantics (Spark `div` and
+    # DuckDB `//` alike), so an empty document emits exactly ONE
+    # empty-string chunk on each side — consistent by construction,
+    # verified by the degenerate-document parity test.
     chunks = F.expr(
         f"transform(sequence(0, int((length(text) - 1) div {CHUNK_STRIDE})), "
         f"i -> struct(cast(i as bigint) as chunk_id, substring(text, 1 + {CHUNK_STRIDE} * i, {CHUNK_SIZE}) as chunk))"

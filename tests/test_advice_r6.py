@@ -74,15 +74,21 @@ def test_udtf_gap_and_freshness_match_under_nonutc_session(spark, sf_dir):
         assert base == shifted, name
 
 
-def test_block_dedup_emits_no_phantom_blocks_for_empty_payload(spark, sf_dir):
-    """byte_len = 0 must contribute ZERO block rows: before the fix,
-    F.sequence(0, -1) defaulted to step -1 and manufactured two phantom
-    blocks [0, -1] per empty document, diverging from the oracle's
-    empty range(0, 0). Built as a full oracle-parity run over a fixture
-    that actually contains an empty document."""
+def test_degenerate_documents_match_oracle(spark, sf_dir):
+    """Oracle parity over a fixture containing an EMPTY document and a
+    SINGLE-TOKEN document — the inputs where Spark's descending-default
+    sequence() and truncating div diverge from DuckDB's half-open
+    range() and floor //:
+    - block dedup: sequence(0, -1) manufactured two phantom blocks,
+    - repetition bigrams: sequence(1, 0) hit element_at index 0 — an
+      ERROR, not just a divergence, on any one-token document,
+    - text chunks: included as the negative control — Spark `div` and
+      DuckDB `//` BOTH truncate toward zero, so the engines agree on
+      one empty chunk per empty document with no guard needed.
+    The production fixtures' min text length masks the first two."""
     from tests.oracle_utils import compare_query
 
-    tmp = tempfile.mkdtemp(prefix="smr_emptydoc_")
+    tmp = tempfile.mkdtemp(prefix="smr_degendoc_")
     try:
         for t in TABLE_NAMES:
             src = os.path.join(sf_dir, f"{t}.parquet")
@@ -92,26 +98,28 @@ def test_block_dedup_emits_no_phantom_blocks_for_empty_payload(spark, sf_dir):
         import pyarrow.parquet as pq
 
         base = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-        empty = pa.table(
+        extra = pa.table(
             {
-                "doc_id": [999_999_001],
-                "text": [""],
-                "lang": ["en"],
-                "source": ["synthetic"],
-                "n_chars": [0],
+                "doc_id": [999_999_001, 999_999_002],
+                "text": ["", "solitary"],
+                "lang": ["en", "en"],
+                "source": ["synthetic", "synthetic"],
+                "n_chars": [0, 8],
             },
             schema=base.schema,
         )
         pq.write_table(
-            pa.concat_tables([base, empty]),
+            pa.concat_tables([base, extra]),
             os.path.join(tmp, "documents.parquet"),
         )
-        compare_query(
-            spark,
-            catalog.QUERIES["q_multimodal_block_dedup"],
-            catalog.ORACLES["q_multimodal_block_dedup"],
-            tmp,
-        )
+        for name in (
+            "q_multimodal_block_dedup",
+            "q_text_chunks",
+            "q_text_repetition",
+        ):
+            compare_query(
+                spark, catalog.QUERIES[name], catalog.ORACLES[name], tmp
+            )
         out = catalog.QUERIES["q_multimodal_block_dedup"](spark, tmp)
         assert out.filter(F.col("media_id") == 999_999_001).count() == 0
     finally:
