@@ -1159,8 +1159,13 @@ def _lexical_scored_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("doc_id", "token", w6.alias("w6"))
     )
+    # Moment sums accumulate in decimal(38,0): w6^2 is ~6e14 for a
+    # max-IDF term, so a long document's int64 square-sum can wrap at
+    # large corpus sizes while the DuckDB oracle's HUGEINT keeps going.
+    # Exact integers either way — the double cast happens after.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
     nrm = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w6") * F.col("w6")).cast("double")).alias("nv")
+        F.sqrt(F.sum(dec("w6") * dec("w6")).cast("double")).alias("nv")
     )
     q = w.filter(F.col("doc_id") < _LEX_QUERIES).select(
         F.col("doc_id").alias("query_id"), "token", F.col("w6").alias("qw6")
@@ -1168,7 +1173,7 @@ def _lexical_scored_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = (
         w.join(F.broadcast(q), (w.token == q.token) & (w.doc_id != q.query_id))
         .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("qw6") * F.col("w6")).alias("dp"))
+        .agg(F.sum(dec("qw6") * dec("w6")).alias("dp"))
     )
     # Query-side norms filter to the 10 query docs (broadcastable at
     # any corpus size); the neighbor-side norm table is corpus-sized,

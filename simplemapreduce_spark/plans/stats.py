@@ -679,10 +679,16 @@ def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero variance and a 0-width min-max range) are excluded on both
     engines rather than left to engine-specific IEEE /0 behavior."""
     d = load_table(spark, sf_dir, "documents")
+    # sxx accumulates in decimal(38,0) (the jackknife idiom): the int64
+    # square-sum wraps silently around ~1e7 max-length docs per group,
+    # where the DuckDB oracle's HUGEINT keeps going — the engines would
+    # diverge instead of failing together. sx/n stay bigint (linear in
+    # group size, 9.2e18 of headroom).
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
     s = d.groupBy("source").agg(
         F.count("*").alias("n"),
         F.sum("n_chars").alias("sx"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        F.sum(dec("n_chars") * dec("n_chars")).alias("sxx"),
         F.min("n_chars").alias("mn"),
         F.max("n_chars").alias("mx"),
     )
