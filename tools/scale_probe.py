@@ -120,6 +120,18 @@ PROBE = [
     "q_subquery_correlated",
     "q_join_bucketed",
     "q_merge_scd2",
+    # Round-6 third wave: the pairwise dedup variants whose candidate
+    # bounding was argued but never measured (simhash sign-bit
+    # blocking, PPJoin prefix filter, keep-best cluster pick), plus
+    # window-6 representatives of quality/curation (CDC apply's
+    # ordered change replay, full-scan column profiling, preference-
+    # pair construction).
+    "q_dedup_simhash_pairs",
+    "q_dedup_jaccard_prefix_filter",
+    "q_dedup_keep_best",
+    "q_cdc_apply",
+    "q_profile_columns",
+    "q_preference_pairs",
 ]
 
 
