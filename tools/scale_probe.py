@@ -183,7 +183,8 @@ def main() -> None:
     build_scaled(spark)
     print(f"built in {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    pos = [a for a in sys.argv[2:] if not a.startswith("--")]
+    only = pos[0].split(",") if pos else None
     if only:
         unknown = sorted(set(only) - set(PROBE))
         if unknown:
@@ -207,6 +208,22 @@ def main() -> None:
             f"x{K}_sec": round(tk, 3),
             "scaling_exponent": round(exp, 3),
         }
+        if "--rows" in sys.argv:
+            # Output-row counts at both scales: an exact operator whose
+            # ANSWER grows super-linearly on the dense replica (e.g.
+            # the prefix-filter similarity join — 10 identical copies
+            # of every doc make the true pair list quadratic) reads as
+            # a high time exponent even when its cost per output row
+            # is collapsing. Rows make that self-diagnosing.
+            r1 = fn(spark, SRC).count()
+            rk = fn(spark, DST).count()
+            clear_memo()
+            results[name]["rows_1x"] = r1
+            results[name][f"rows_x{K}"] = rk
+            if r1 and rk:
+                results[name]["output_exponent"] = round(
+                    math.log(rk / r1) / math.log(K), 3
+                )
         print(name, results[name], file=sys.stderr)
 
     print(json.dumps({"k": K, "queries": results}))
