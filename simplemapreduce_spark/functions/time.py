@@ -36,6 +36,33 @@ def micros_to_ntz(micros: Column) -> Column:
     return F.timestamp_add("MICROSECOND", micros, F.expr(_EPOCH_NTZ))
 
 
+def date_trunc_ntz(unit: str, col: Column | str) -> Column:
+    """Wall-clock ``date_trunc`` that PRESERVES TIMESTAMP_NTZ.
+
+    Spark's ``F.date_trunc`` on an NTZ column returns TIMESTAMP_LTZ —
+    it casts through ``spark.sql.session.timeZone`` — so (a) collected
+    values render shifted on any non-UTC session (the driver-gate
+    failure mode of the round-5 advice) and (b) downstream epoch
+    extraction silently inherits the session offset. This version is
+    pure date/epoch arithmetic: DATE casts for day-and-coarser units
+    (NTZ→DATE drops the time-of-day with no zone anywhere) and
+    epoch-microsecond floor division for hour/minute. Bit-identical to
+    DuckDB ``date_trunc`` on naive timestamps in every session zone,
+    including zones whose DST transition lands on midnight (where the
+    LTZ round-trip would shift a truncated day to 01:00).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = unit.lower()
+    if u == "day":
+        return c.cast("date").cast("timestamp_ntz")
+    if u in ("week", "month", "quarter", "year"):
+        return F.trunc(c.cast("date"), u).cast("timestamp_ntz")
+    if u in ("hour", "minute"):
+        step = 3_600_000_000 if u == "hour" else 60_000_000
+        return micros_to_ntz(F.floor(epoch_micros(c) / step).cast("long") * step)
+    raise ValueError(f"unsupported unit: {unit}")
+
+
 def ntz_as_event_time(col: Column | str) -> Column:
     """TIMESTAMP_NTZ → TIMESTAMP_LTZ with the naive value read as UTC,
     independent of the session timezone (epoch arithmetic, not a cast).

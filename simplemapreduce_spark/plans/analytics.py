@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
-from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS, epoch_micros
+from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS, date_trunc_ntz, epoch_micros
 from simplemapreduce_spark.sources.tables import load_table
 
 
@@ -94,7 +94,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cohort label renders as a yyyy-MM-dd string on both sides
     (pandas would widen a DATE to a midnight timestamp otherwise)."""
     e = load_table(spark, sf_dir, "events")
-    week = F.date_trunc("week", F.col("ts")).cast("date")
+    week = date_trunc_ntz("week", F.col("ts")).cast("date")
     firsts = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
     activity = (
         e.join(F.broadcast(firsts), "user_id")
@@ -743,7 +743,7 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; one rounded ratio."""
     e = load_table(spark, sf_dir, "events")
     day = F.floor(
-        epoch_micros(F.date_trunc("day", "ts")) / F.lit(86_400_000_000)
+        epoch_micros(date_trunc_ntz("day", "ts")) / F.lit(86_400_000_000)
     ).cast("long")
     ud = e.select(day.alias("day"), "user_id").distinct()
     dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
@@ -823,7 +823,7 @@ def q_sessions_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", "ts", sess.alias("sess"))
         .groupBy("user_id", "sess")
         .agg(
-            F.date_format(F.date_trunc("day", F.min("ts")), "yyyy-MM-dd").alias("day"),
+            F.date_format(date_trunc_ntz("day", F.min("ts")), "yyyy-MM-dd").alias("day"),
             F.count("*").alias("n_events"),
         )
     )
@@ -909,7 +909,7 @@ def q_events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the first agg is calendar-bounded."""
     e = load_table(spark, sf_dir, "events")
     day = F.floor(
-        epoch_micros(F.date_trunc("day", "ts")) / F.lit(86_400_000_000)
+        epoch_micros(date_trunc_ntz("day", "ts")) / F.lit(86_400_000_000)
     ).cast("long")
     daily = e.groupBy("event_type", day.alias("day")).agg(F.count("*").alias("n"))
     w = W.partitionBy("event_type").orderBy("day")
@@ -984,7 +984,7 @@ def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead; the two-agg shape avoids any sort."""
     e = load_table(spark, sf_dir, "events")
     du = (
-        e.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id")
+        e.select(F.to_date(date_trunc_ntz("day", "ts")).alias("day"), "user_id")
         .distinct()
     )
     first_seen = du.groupBy("user_id").agg(F.min("day").alias("first_day"))

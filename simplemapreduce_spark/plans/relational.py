@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simplemapreduce_spark.functions.time import date_trunc_ntz
 from simplemapreduce_spark.catalog import query
 from simplemapreduce_spark.sources.tables import load_table, register_tables
 
@@ -726,7 +727,7 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
             "days_since_epoch_start"
         ),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        date_trunc_ntz("month", F.col("o_orderdate")).alias("month_start"),
     )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from simplemapreduce_spark.functions.time import date_trunc_ntz
 from simplemapreduce_spark.catalog import query
 from simplemapreduce_spark.sources.tables import load_table
 
@@ -976,7 +977,7 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     double formula (the q_feature_scaling determinism recipe); no
     window at all."""
     e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+    hourly = e.groupBy("event_type", date_trunc_ntz("hour", "ts").alias("h")).agg(
         F.count("*").alias("n")
     )
     s = hourly.groupBy("event_type").agg(

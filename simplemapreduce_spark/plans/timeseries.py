@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
-from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS, epoch_micros
+from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS, date_trunc_ntz, epoch_micros
 from simplemapreduce_spark.sources.tables import load_table
 
 _GAP_MICROS = SESSION_GAP_MICROS  # 30-minute session gap (shared constant)
@@ -278,14 +278,14 @@ def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence()+explode — no driver-side loop)."""
     e = load_table(spark, sf_dir, "events")
     bounds = e.agg(
-        F.date_trunc("day", F.min("ts")).alias("lo"), F.date_trunc("day", F.max("ts")).alias("hi")
+        date_trunc_ntz("day", F.min("ts")).alias("lo"), date_trunc_ntz("day", F.max("ts")).alias("hi")
     )
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
     daily = (
         e.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .groupBy(date_trunc_ntz("day", "ts").alias("day"))
         .agg(F.count("*").alias("n"))
     )
     return (
@@ -373,7 +373,7 @@ def q_ts_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts each group; the documented cheap path is approx_percentile
     (q_approx_quantiles) — this query is the exact twin."""
     e = load_table(spark, sf_dir, "events")
-    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    day = F.date_format(date_trunc_ntz("day", F.col("ts")), "yyyy-MM-dd")
     return (
         e.groupBy(day.alias("day"))
         .agg(
@@ -448,15 +448,15 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     same windows by series key."""
     e = load_table(spark, sf_dir, "events")
     bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        date_trunc_ntz("hour", F.min("ts")).alias("lo"),
+        date_trunc_ntz("hour", F.max("ts")).alias("hi"),
     )
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
     )
     hourly = (
         e.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .groupBy(date_trunc_ntz("hour", "ts").alias("bucket"))
         .agg(
             (
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
@@ -533,7 +533,7 @@ def q_ts_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         e.groupBy(
             "event_type",
-            (epoch_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
+            (epoch_micros(date_trunc_ntz("hour", "ts")) / 3_600_000_000)
             .cast("bigint")
             .alias("h"),
         )
@@ -598,7 +598,7 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the map-side-combinable alternative to collecting events per
     group."""
     e = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
+    day = date_trunc_ntz("day", F.col("ts"))
     base = e.select("event_type", day.alias("day"), "ts", "event_id", "value")
     wf = W.partitionBy("event_type", "day").orderBy("ts", "event_id")
     wl = W.partitionBy("event_type", "day").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -765,7 +765,7 @@ def q_ts_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous aggregate and this query reads ONLY it — the exact
     column here exists for the verification contract."""
     e = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
+    day = date_trunc_ntz("day", F.col("ts"))
     ten = F.window("ts", "10 minutes")
     partial = e.groupBy(day.alias("day"), ten.alias("w")).agg(
         F.hll_sketch_agg("user_id", 14).alias("sk")
@@ -831,7 +831,7 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange on the series key serving both frames and the final
     filter."""
     e = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
+    day = date_trunc_ntz("day", F.col("ts"))
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     daily = e.groupBy("event_type", day.alias("day")).agg(
         F.sum(cents).cast("long").alias("cents")
@@ -888,7 +888,7 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_join_range_binned does for lookback windows."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     spans = e.groupBy(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        "user_id", date_trunc_ntz("day", F.col("ts")).alias("day")
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     a, b = spans.alias("a"), spans.alias("b")
     overlap_us = epoch_micros(F.least(F.col("a.e"), F.col("b.e"))) - epoch_micros(
@@ -1093,7 +1093,7 @@ def _daily_revenue_dollars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     day = F.floor(
-        epoch_micros(F.date_trunc("day", "l_shipdate")) / F.lit(86_400_000_000)
+        epoch_micros(date_trunc_ntz("day", "l_shipdate")) / F.lit(86_400_000_000)
     ).cast("long")
     units = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
         "long"
@@ -1440,7 +1440,7 @@ def q_ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = F.col("l_quantity").cast("long")
     px = li.select(
         "l_returnflag",
-        F.to_date(F.date_trunc("month", "l_shipdate")).alias("month"),
+        F.to_date(date_trunc_ntz("month", "l_shipdate")).alias("month"),
         price_cents.alias("price_cents"),
         qty.alias("qty"),
     )
@@ -1522,7 +1522,7 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.select(
             "event_type",
-            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.to_date(date_trunc_ntz("day", "ts")).alias("day"),
             (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
         )
         .groupBy("event_type", "day")

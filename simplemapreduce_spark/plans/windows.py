@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from simplemapreduce_spark.catalog import query
-from simplemapreduce_spark.functions.time import epoch_micros
+from simplemapreduce_spark.functions.time import date_trunc_ntz, epoch_micros
 from simplemapreduce_spark.sources.tables import load_table
 
 
@@ -312,7 +312,7 @@ def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = (
         e.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .groupBy(date_trunc_ntz("day", "ts").alias("day"))
         .agg(F.count("*").alias("n"))
     )
     w = W.orderBy("day").rowsBetween(-6, W.currentRow)

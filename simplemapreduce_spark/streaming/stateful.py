@@ -315,8 +315,14 @@ def sessionize_stateful_stream(events: DataFrame) -> DataFrame:
         parts = [p for p in pdfs if len(p)]
         if not parts:
             return
-        df = pd.concat(parts).sort_values(["ts", "event_id"])
-        ts_us = (df["ts"].astype("int64") // 1000).tolist()
+        # Sort and extract on the precomputed ts_us LONG, never the
+        # pandas timestamp: Arrow hands applyInPandasWithState the
+        # event time rendered in the SESSION timezone as a naive
+        # datetime64, so int64-ing it would shift every epoch by the
+        # session offset on a non-UTC driver (caught by the round-6
+        # full-catalog TZ-invariance sweep).
+        df = pd.concat(parts).sort_values(["ts_us", "event_id"])
+        ts_us = df["ts_us"].tolist()
         cur = list(state.get) if state.exists else None
         out = []
         for t in ts_us:
@@ -346,6 +352,10 @@ def sessionize_stateful_stream(events: DataFrame) -> DataFrame:
 
     return (
         events.withWatermark("ts", "30 minutes")
+        # TZ-exact epoch micros, extracted JVM-side from the LTZ event
+        # time (unix_micros on LTZ is session-independent); the pandas
+        # state fn reads ONLY this long column.
+        .withColumn("ts_us", F.unix_micros("ts"))
         .groupBy("user_id")
         .applyInPandasWithState(
             update, _SESS_OUT, _SESS_STATE, "append", GroupStateTimeout.EventTimeTimeout

@@ -62,6 +62,11 @@ def test_udtf_gap_and_freshness_match_under_nonutc_session(spark, sf_dir):
         # found by the round-6 sweep for the same pattern: staleness
         # seconds via unix_timestamp over NTZ columns
         "q_ts_asof_tolerance",
+        # found by the round-6 FULL-catalog TZ-invariance sweep
+        # (tools/tz_invariance_sweep.py): F.date_trunc on NTZ returns
+        # LTZ through a session-zone cast — now date_trunc_ntz
+        "q_scalar_date",
+        "q_ts_ohlc",
     ):
         fn = catalog.QUERIES[name]
         base = sorted(map(tuple, fn(spark, sf_dir).collect()))
