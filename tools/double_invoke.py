@@ -1,6 +1,12 @@
 """Invoke every catalog query twice in one session at sf0.001 and
 compare sorted stringified rows — catches memo staleness / key
-collisions that a single-pass sweep cannot see."""
+collisions that a single-pass sweep cannot see.
+
+Do NOT run concurrently with the pytest suite or another sweep:
+queries stage artifacts under /tmp/smr_scratch keyed by table stamp,
+and a concurrent process overwriting a staged dir mid-read produces
+false mismatches (observed: q_source_text_lines / q_join_bucketed).
+"""
 import sys
 
 sys.path.insert(0, "/root/repo")

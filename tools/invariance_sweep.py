@@ -9,6 +9,12 @@ meaningful on a cluster whose partitioning the driver does not control
 the exhaustive version, run per-round from a scratch cwd).
 
 Usage: cd /tmp && python /root/repo/tools/invariance_sweep.py [sf_dir]
+
+
+Do NOT run concurrently with the pytest suite or another sweep:
+queries stage artifacts under /tmp/smr_scratch keyed by table stamp,
+and a concurrent process overwriting a staged dir mid-read produces
+false mismatches (observed: q_source_text_lines / q_join_bucketed).
 """
 
 import sys

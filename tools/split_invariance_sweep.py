@@ -1,14 +1,13 @@
-"""Full-catalog session-timezone invariance sweep.
+"""Full-catalog input-split invariance sweep.
 
-Every query runs under spark.sql.session.timeZone=UTC and again under
-America/New_York (DST-observing, the round-5 ADVICE scenario: the
-grading driver builds its own session and may not pin UTC). Sorted
-stringified rows must match — the exhaustive version of the targeted
-non-UTC pins in tests/test_advice_r6.py, catching any session-zone
-dependence the grep audit (unix_micros / casts / unix_timestamp)
-missed.
+Every query runs under spark.sql.files.maxPartitionBytes=64k (many tiny
+scan splits) and again at the 128m default, memo cleared between runs.
+This perturbs SCAN partitioning — the axis the shuffle-partition sweep
+cannot reach — and stresses every per-partition code path: mapInPandas
+batch boundaries, Arrow chunking, whole-file text sources, posexplode
+pipelines, and the MapReduce-compat per-partition reducers.
 
-Usage: cd /tmp && python /root/repo/tools/tz_invariance_sweep.py [sf_dir]
+Usage: cd /tmp && python /root/repo/tools/split_invariance_sweep.py [sf_dir]
 
 
 Do NOT run concurrently with the pytest suite or another sweep:
@@ -30,24 +29,24 @@ from simplemapreduce_spark.cache import clear_memo
 from simplemapreduce_spark.session import get_spark
 
 catalog.load_all()
-spark = get_spark("smr-tz-invariance")
+spark = get_spark("smr-split-invariance")
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 
-def run(fn, tz):
-    old = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", tz)
+def run(fn, nbytes):
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(nbytes))
     clear_memo()
     try:
         return sorted(map(str, fn(spark, SF).collect()))
     finally:
-        spark.conf.set("spark.sql.session.timeZone", old)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
 bad = []
 for i, (name, fn) in enumerate(catalog.QUERIES.items()):
     try:
-        if run(fn, "UTC") != run(fn, "America/New_York"):
+        if run(fn, 64 * 1024) != run(fn, 128 * 1024 * 1024):
             bad.append(name)
             print("MISMATCH", name, flush=True)
     except Exception as e:
