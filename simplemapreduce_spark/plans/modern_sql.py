@@ -181,7 +181,17 @@ def q_approx_top_k_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.expr("approx_top_k_accumulate(event_type, 10000)").alias("sk")
     )
-    combined = daily.agg(F.expr("approx_top_k_combine(sk, 10000)").alias("sk"))
+    # coalesce(1) before the global combine: Spark's ApproxTopKCombine
+    # crashes (scala.MatchError: null in genSketchSerDe) when a partial-
+    # aggregation task sees an EMPTY partition — the item-type field of
+    # the never-initialized buffer is null at serialize time. AQE's
+    # partition coalescing usually masks it (found by the AQE-off
+    # invariance sweep). The daily sketch table is |days| rows, so one
+    # partition is the right layout for the final combine at any scale;
+    # the sketch accumulate/combine path itself is unchanged.
+    combined = daily.coalesce(1).agg(
+        F.expr("approx_top_k_combine(sk, 10000)").alias("sk")
+    )
     est = combined.select(F.explode(F.expr("approx_top_k_estimate(sk, 50)")).alias("r"))
     return est.select(
         F.col("r.item").alias("item"), F.col("r.count").cast("long").alias("cnt")
