@@ -132,6 +132,17 @@ PROBE = [
     "q_cdc_apply",
     "q_profile_columns",
     "q_preference_pairs",
+    # Round-6 fourth wave: the last modules with no probe row — exact
+    # interpolated percentile (full sort-within-group), the pandas
+    # UDAF surface (Arrow round-trip cost vs data growth), the two
+    # MapReduce-compat reducers (holistic per-key contract), the
+    # count-min sketch, and the dynamic-partition-pruning join.
+    "q_agg_percentile_cont",
+    "q_pandas_udaf_weighted_mean",
+    "q_mr_compat_inverted_index",
+    "mr_secondary_sort",
+    "q_sketch_count_min",
+    "q_join_dpp",
 ]
 
 
