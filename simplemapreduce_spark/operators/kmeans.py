@@ -157,11 +157,11 @@ def kmeans_fit(
             .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
         )
     spark = vectors.sparkSession
-    # Seed `rows` from the init centroids so the memo store below is
-    # defined even for iters=0 (otherwise `rows` is unbound when the
-    # Lloyd loop never runs).
-    rows = cent.collect()
-    cent = spark.createDataFrame(rows, schema="cid bigint, ce array<double>")
+    # `rows` stays lazy: farthest_first_init already returns a literal
+    # createDataFrame table, so iters=0 without a memo needs no driver
+    # action at all; the memo path collects below only if the Lloyd
+    # loop never ran.
+    rows = None
     for _ in range(iters):
         assigned = assign_cells(vectors, cent)
         new_cent = update_centroids(assigned)
@@ -170,6 +170,9 @@ def kmeans_fit(
         rows = new_cent.collect()
         cent = spark.createDataFrame(rows, schema="cid bigint, ce array<double>")
     if memo_key is not None:
+        if rows is None:
+            rows = cent.collect()
+            cent = spark.createDataFrame(rows, schema="cid bigint, ce array<double>")
         _FIT_MEMO[(app, memo_key)] = [(r["cid"], r["ce"]) for r in rows]
         for old in [kk for kk in _FIT_MEMO if kk[0] != app]:
             del _FIT_MEMO[old]

@@ -57,7 +57,7 @@ def salted_join(
     oracle="""
     SELECT e.event_type, COUNT(*) AS n,
            CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-           MIN(t.type_rank) AS type_rank
+           CAST(MIN(t.type_rank) AS INTEGER) AS type_rank
     FROM events e
     JOIN (
       SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) AS type_rank

@@ -344,7 +344,7 @@ _GRID_PY = 20000  # grid cell height on the price axis (dollars)
     "q_join_spatial_grid",
     oracle=f"""
     WITH rects AS (
-      SELECT i AS rect_id,
+      SELECT CAST(i AS INTEGER) AS rect_id,
              (i % 6) * 8 + 1 + CASE WHEN i >= 24 THEN 60 ELSE 0 END AS q_lo,
              (i % 6) * 8 + 13 + CASE WHEN i >= 24 THEN 60 ELSE 0 END AS q_hi,
              (i // 6) * 20000 + 500 AS p_lo, (i // 6) * 20000 + 30500 AS p_hi

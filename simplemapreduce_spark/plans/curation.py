@@ -170,7 +170,7 @@ DOMAIN_CAP = 20
 @query(
     "q_domain_caps",
     oracle=f"""
-    SELECT source, doc_id, rnk FROM (
+    SELECT source, doc_id, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT source, doc_id,
              ROW_NUMBER() OVER (PARTITION BY source
                                 ORDER BY n_chars DESC, doc_id) AS rnk

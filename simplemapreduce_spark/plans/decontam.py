@@ -49,7 +49,7 @@ CONTAMINATION_THRESHOLD = 0.2
       FROM doc_sh WHERE {_TRAIN_PRED}
     )
     SELECT t.doc_id,
-           ANY_VALUE(t.n_grams) AS n_grams,
+           CAST(ANY_VALUE(t.n_grams) AS INTEGER) AS n_grams,
            COUNT(e.shingle) AS n_overlap,
            ROUND(CAST(COUNT(e.shingle) AS DOUBLE) / ANY_VALUE(t.n_grams), 6)
              AS contamination,

@@ -1094,7 +1094,8 @@ _SQL_LEX_SCORED = f"""
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM lex_scored)
-    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_LEX_TOP_K}
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_LEX_TOP_K}
     ORDER BY query_id, rank
     """,
 )

@@ -181,15 +181,18 @@ def q_approx_top_k_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.expr("approx_top_k_accumulate(event_type, 10000)").alias("sk")
     )
-    # coalesce(1) before the global combine: Spark's ApproxTopKCombine
+    # repartition(1) before the global combine: Spark's ApproxTopKCombine
     # crashes (scala.MatchError: null in genSketchSerDe) when a partial-
     # aggregation task sees an EMPTY partition — the item-type field of
     # the never-initialized buffer is null at serialize time. AQE's
     # partition coalescing usually masks it (found by the AQE-off
-    # invariance sweep). The daily sketch table is |days| rows, so one
-    # partition is the right layout for the final combine at any scale;
-    # the sketch accumulate/combine path itself is unchanged.
-    combined = daily.coalesce(1).agg(
+    # invariance sweep). repartition, not coalesce: coalesce(1) would
+    # propagate up through the per-day groupBy and serialize the daily
+    # sketch aggregation itself to one task at scale, while the extra
+    # tiny shuffle of |days| sketch rows keeps it parallel and still
+    # guarantees the combine's partial aggregation never sees an empty
+    # partition.
+    combined = daily.repartition(1).agg(
         F.expr("approx_top_k_combine(sk, 10000)").alias("sk")
     )
     est = combined.select(F.explode(F.expr("approx_top_k_estimate(sk, 50)")).alias("r"))

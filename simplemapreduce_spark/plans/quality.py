@@ -493,10 +493,11 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM corrupted)
     SELECT source,
            COUNT(*) AS docs,
-           SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS docs_mojibake,
-           SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS docs_control,
-           SUM(n_repl) AS total_replacement_chars,
-           SUM(CASE WHEN n_repl = 0 AND n_ctrl = 0 THEN 1 ELSE 0 END) AS docs_clean
+           CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_mojibake,
+           CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_control,
+           CAST(SUM(n_repl) AS BIGINT) AS total_replacement_chars,
+           CAST(SUM(CASE WHEN n_repl = 0 AND n_ctrl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_clean
     FROM m
     GROUP BY source
     ORDER BY source

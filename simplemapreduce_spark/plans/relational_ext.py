@@ -73,10 +73,10 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_array",
     oracle="""
     SELECT vec_id,
-           len(e) AS arr_len,
+           CAST(len(e) AS INTEGER) AS arr_len,
            list_reduce(e[1:4], (a, b) -> a + b) AS head4_sum,
            list_max(e) AS max_val,
-           len(list_filter(e, x -> x > 0)) AS n_pos,
+           CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_pos,
            list_sort(e)[len(e)] AS sorted_last
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     """,
@@ -207,7 +207,7 @@ from simplemapreduce_spark.scratch import scratch_dir as _scratch_dir  # noqa: E
 @query(
     "q_source_csv_roundtrip",
     oracle="""
-    SELECT n_regionkey, COUNT(*) AS n_nations,
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n_nations,
            MIN(n_name) AS first_nation
     FROM nation GROUP BY n_regionkey
     """,
@@ -395,7 +395,7 @@ def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_source_xml_roundtrip",
     oracle="""
-    SELECT r_regionkey, MIN(r_name) AS region_name
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, MIN(r_name) AS region_name
     FROM region GROUP BY r_regionkey
     """,
 )

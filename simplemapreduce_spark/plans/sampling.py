@@ -120,7 +120,7 @@ SHUFFLE_HEAD = 20
 @query(
     "q_shuffle_deterministic",
     oracle=f"""
-    SELECT doc_id, shuffle_key, rank FROM (
+    SELECT doc_id, shuffle_key, CAST(rank AS INTEGER) AS rank FROM (
       SELECT doc_id,
              md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
              ROW_NUMBER() OVER (ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))) AS rank

@@ -73,7 +73,8 @@ def dense_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM dense_scored
     )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
     """,
 )
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +125,8 @@ def _sign_bucket_col() -> F.Column:
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
     """,
 )
 def q_sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +173,8 @@ def q_sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_dist, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, l2_dist, rank FROM ranked WHERE rank <= {TOP_K}
+    SELECT query_id, neighbor_id, l2_dist, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
     """,
 )
 def q_sim_l2_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,7 +273,8 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {IVF_TOP_K}
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {IVF_TOP_K}
     """,
 )
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,7 +420,7 @@ def _kmeans_ivf_oracle_sql() -> str:
     return (
         "WITH "
         + ",\n    ".join(parts)
-        + f"\n    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked"
+        + f"\n    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked"
         f" WHERE rank <= {IVF_TOP_K}"
     )
 
@@ -739,7 +743,7 @@ def _pq_oracle_sql() -> str:
     return (
         "WITH "
         + ",\n    ".join(parts)
-        + f"\n    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked"
+        + f"\n    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked"
         f" WHERE rank <= {TOP_K}"
     )
 

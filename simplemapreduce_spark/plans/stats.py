@@ -980,10 +980,15 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy("event_type", date_trunc_ntz("hour", "ts").alias("h")).agg(
         F.count("*").alias("n")
     )
+    # sxx accumulates in decimal(38,0) (the q_feature_scaling idiom):
+    # the int64 square-sum wraps silently for hot hours at large scale
+    # factors where the DuckDB oracle's HUGEINT keeps going; k/sx stay
+    # bigint (linear in group size).
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
     s = hourly.groupBy("event_type").agg(
         F.count("*").alias("k"),
         F.sum("n").alias("sx"),
-        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.sum(dec("n") * dec("n")).alias("sxx"),
     )
     mean = F.col("sx").cast("double") / F.col("k")
     var = F.col("sxx").cast("double") / F.col("k") - mean * mean

