@@ -38,88 +38,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The grading driver verifies the FIRST ~50 registered queries. Round-5
-# window policy (VERDICT r3 "Next round" #2: keep the rotation
-# discipline; mechanically regenerated by tools/rotate_driver_window.py
-# from the CORRECTNESS_r* residue): the leading block is the 12 queries
-# ADDED this round that the mechanical module ordering would have left
-# out of the window (new code is the highest-value driver signal — the
-# same changed-this-round discipline rounds 3 and 4 used; the three
-# other round-5 additions sit inside their modules' blocks); then every
-# remaining never-driver-checked query, whole modules first ascending
-# by unchecked count so small modules clear completely (this window
-# finishes py_udtf, stateful, decontam, frequency, merge, bucketing,
-# sql_udf, subqueries, extensions, mr_compat, relational, tpch_ext,
-# sampling, graph — including the round-5 LPA and block-dedup
-# additions — and starts modern_sql). Note: the round-4 window
-# (stats/modern_sql/quality/frequency/windows) produced no
-# CORRECTNESS_r04.json by round-5 start, so rotation proceeds from the
-# r01-r03 record; whichever set the driver actually consumes, every
-# query in this window has no prior verdict. The full catalog was
-# swept locally at sf0.01 five times in round 5 (last after ALL 19
-# round-5 additions and every rewrite): 362 oracled checked, 0 fail;
-# a FULL tools/driver_sim.py replay (module-by-path __spark_entry__
-# load, the driver's exact compare) then re-checked all 364 at round
-# close: 362 pass + 2 rows-only-clean, 0 fail (see DRIVER_COVERAGE.md
-# for the per-query driver-verdict residue).
+# The grading driver verifies the FIRST ~50 registered queries.
+# Round-7 window, per VERDICT r6 "Next round" #3 verbatim: (1) the two
+# re-checks at the head — q_text_encoding_audit (round 6's only red;
+# its oracle's four SUMs are now CAST AS BIGINT, fixing the DuckDB
+# HUGEINT vs Spark BIGINT divergence under the driver's type-sensitive
+# hash) and q_graph_label_propagation (passed r5, but its output
+# checksum type changed to decimal(38,0) in r6 — any query whose output
+# type changed since its last green row re-verifies); then (2) whole
+# never-driver-checked modules stats (21), analytics (13),
+# relational_more (13), registration order within each; slot 50 starts
+# llm_text. Every entry was replayed green through the now-TYPE-AWARE
+# local gate (tools/driver_sim.py at sf0.01 — stringified values AND
+# normalized output-type vectors; see TYPECHECK.md) before this window
+# landed. Cumulative driver record entering round 7: 220 full pass + 2
+# rows-only + 1 hash-fail (the re-check at the head); 141 never
+# checked. At 50/round the never-checked queue clears in 3 rounds —
+# catalog frozen at 364 until then (VERDICT r6 #4).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (tpch_ext) --
-    "q20_excess_share_suppliers",
-    # -- never driver-checked (sampling) --
-    "q_split_train_test",
-    "q_shuffle_deterministic",
-    "q_sample_weighted",
-    "q_shard_assignment",
-    "q_split_kfold",
-    # -- never driver-checked (graph) --
-    "q_graph_shortest_path",
-    "q_graph_triangles",
-    "q_graph_degree_histogram",
-    "q_graph_common_neighbors",
-    "q_graph_kcore",
-    "q_recursive_hierarchy_rollup",
-    # -- never driver-checked (modern_sql) --
-    "q_sql_scripting",
-    "q_agg_bitmap_distinct",
-    "q_agg_listagg",
-    "q_approx_top_k_lifecycle",
-    "q_sql_group_by_all",
-    "q_set_except_all",
-    "q_set_intersect_all",
-    # -- never driver-checked (quality) --
-    "q_profile_columns",
-    "q_constraint_audit",
-    "q_snapshot_diff",
-    "q_compaction_plan",
-    "q_cdc_apply",
-    "q_benford_digit_audit",
+    # -- re-verify: r6 FAIL, oracle type fixed (quality) --
     "q_text_encoding_audit",
-    # -- never driver-checked (curation) --
-    "q_text_repetition",
-    "q_text_chunks",
-    "q_length_histogram",
-    "q_text_url_extract",
-    "q_pipeline_quality_filter",
-    "q_curation_winsorize",
-    "q_url_canonical_dedup",
-    "q_sample_alpha_temperature",
-    "q_pipeline_curation_funnel",
-    "q_sft_render",
-    "q_sample_topp_mass",
-    "q_preference_pairs",
-    # -- never driver-checked (dedup) --
-    "q_dedup_minhash_lsh_ckpt",
-    "q_dedup_simhash_pairs",
-    "q_dedup_apply",
-    "q_dedup_incremental",
-    "q_dedup_lines",
-    "q_dedup_lines_frequency",
-    "q_dedup_dup_ngram_fraction",
-    "q_dedup_jaccard_prefix_filter",
-    "q_split_cluster_aware",
-    "q_dedup_keep_best",
-    "q_dedup_cross_source_matrix",
-    "q_dedup_method_agreement",
+    # -- re-verify: output type changed since its r5 green (graph) --
+    "q_graph_label_propagation",
+    # -- never driver-checked (stats) --
+    "q_agg_regression",
+    "q_event_entropy",
+    "q_pareto_frontier",
+    "q_join_fuzzy",
+    "q_skew_report",
+    "q_events_anomaly",
+    "q_events_anomaly_seasonal",
+    "q_drift_psi",
+    "q_outlier_mad",
+    "q_histogram_equidepth",
+    "q_chi_square_contingency",
+    "q_ab_test_ztest",
+    "q_feature_scaling",
+    "q_ks_two_sample",
+    "q_mutual_information",
+    "q_mannwhitney_u",
+    "q_events_burstiness",
+    "q_rank_corr_spearman",
+    "q_events_gini",
+    "q_histogram_equiwidth",
+    "q_jackknife_ratio_se",
+    # -- never driver-checked (analytics) --
+    "q_event_transitions",
+    "q_market_basket_pairs",
+    "q_survival_hazard",
+    "q_attribution_touch",
+    "q_rfm_segments",
+    "q_revenue_contribution",
+    "q_event_sequence_pattern",
+    "q_funnel_deadline",
+    "q_events_dau_wau",
+    "q_sessions_bounce_rate",
+    "q_events_calendar_heatmap",
+    "q_events_top_movers",
+    "q_events_new_vs_returning",
+    # -- never driver-checked (relational_more) --
+    "q_agg_conditional",
+    "q_window_percent_rank",
+    "q_agg_bitwise",
+    "q_agg_hll_merge",
+    "q_pivot_multi_agg",
+    "q_agg_grouping_id",
+    "q_source_csv_malformed",
+    "q_source_parquet_schema_evolution",
+    "q_agg_filter_clause",
+    "q_agg_percentile_cont",
+    "q_agg_weighted_median",
+    "q_agg_trimmed_mean",
+    "q_agg_geomean",
+    # -- never driver-checked (llm_text starts; slot 50) --
+    "q_text_bigram_lm",
 )
 
 
