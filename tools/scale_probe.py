@@ -143,6 +143,14 @@ PROBE = [
     "mr_secondary_sort",
     "q_sketch_count_min",
     "q_join_dpp",
+    # Round-7 (VERDICT r6 #7): the remaining output-bound candidates
+    # get --rows runs at K=100 so every near-linear exponent in
+    # BASELINE.md carries its output-growth denominator. EXCEPT ALL
+    # multiset difference is row-for-row output-bound by construction;
+    # snapshot diff's changed-row output grows with the fact tables;
+    # simhash pairs' answer grows quadratically on the exact-copy
+    # replica while its sign-bit blocking keeps candidate work flat.
+    "q_set_except_all",
 ]
 
 
