@@ -305,7 +305,7 @@ def q_events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     tagged AS (
-      SELECT LEAST(CAST(o_totalprice AS BIGINT) // 50000, 9) AS bin,
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bin,
              CASE WHEN date_diff('day', (SELECT lo FROM bounds),
                                  CAST(o_orderdate AS DATE)) * 2
                        <= (SELECT span FROM bounds)
@@ -355,8 +355,7 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = (
         o.crossJoin(F.broadcast(bounds))
         .select(
-            F.least(F.col("o_totalprice").cast("bigint") / 50000, F.lit(9))
-            .cast("bigint")
+            F.least(F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9))
             .alias("bin"),
             F.when(
                 F.datediff(F.col("o_orderdate").cast("date"), F.col("lo")) * 2
@@ -1177,8 +1176,11 @@ _EQW_LO, _EQW_HI, _EQW_N = 0.0, 500.0, 10  # fixed-width bucket spec
 @query(
     "q_histogram_equiwidth",
     oracle=f"""
-    SELECT CAST(FLOOR((value - {_EQW_LO}) / (({_EQW_HI} - {_EQW_LO}) / {_EQW_N}))
-                + 1 AS BIGINT) AS bucket,
+    SELECT CAST(CASE WHEN value < {_EQW_LO} THEN 0
+                     WHEN value >= {_EQW_HI} THEN {_EQW_N} + 1
+                     ELSE FLOOR((value - {_EQW_LO})
+                                / (({_EQW_HI} - {_EQW_LO}) / {_EQW_N})) + 1
+                END AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS sum_cents
@@ -1198,9 +1200,12 @@ def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     report's buckets mean something different.
 
     Determinism: the oracle mirrors width_bucket's exact arithmetic
-    (floor((v - lo) / ((hi - lo) / n)) + 1 — the divisor 50.0 is exact
-    in binary, so both engines compute identical doubles); counts and
-    cent sums are exact integers.
+    INCLUDING its boundary clamps — values below lo map to bucket 0 and
+    values at/above hi map to bucket n+1 (the raw floor formula alone
+    diverges as soon as the data carries a value >= hi + width: caught
+    by the round-7 sf0.1 gate replay, invisible at sf0.01); the
+    interior divisor 50.0 is exact in binary, so both engines compute
+    identical doubles, and counts and cent sums are exact integers.
 
     Scale shape: one partial/final hash agg to a constant-size grid.
     No window, no second pass."""

@@ -1209,7 +1209,8 @@ _EWMA_DEN_SQL = " + ".join(
       FROM d WINDOW w AS (ORDER BY day)
     )
     SELECT day, x,
-           CAST(ROUND(CAST(num AS DOUBLE) / den, 6) AS DOUBLE) AS ewma
+           CAST(FLOOR(CAST(num AS DOUBLE) / den * 1000000.0 + 0.5) AS BIGINT)
+             / 1000000.0 AS ewma
     FROM e
     """,
 )
@@ -1224,7 +1225,15 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights (4^i * 5^(9-i)), so numerator and denominator are exact
     integer window sums and the smoothed value is a single identical
     double division on both engines — no float power, no recursive
-    state. int64 headroom: max weight 5^9~2e6 x 10 taps leaves ~4.6e11
+    state. The 6-decimal rounding is floor(v*1e6 + 0.5)/1e6 spelled
+    identically on both sides, NOT each engine's ROUND(double, 6):
+    Spark rounds the shortest-decimal rendering of the double via
+    BigDecimal while DuckDB rounds in pure double arithmetic, and a
+    quotient near a 6th-decimal tie diverges in the last printed digit
+    (caught by the round-7 sf0.1 gate replay — one of ~2,900 days
+    straddled; invisible at sf0.01). floor/multiply/add are each
+    IEEE-correctly-rounded, so the rewritten expression is
+    bit-identical cross-engine at any scale. int64 headroom: max weight 5^9~2e6 x 10 taps leaves ~4.6e11
     daily dollars before the numerator could wrap.
 
     Scale shape: consumes the memo-persisted calendar-bounded daily
@@ -1251,7 +1260,9 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "day",
         "x",
-        F.round(num.cast("double") / den, 6).alias("ewma"),
+        (F.floor(num.cast("double") / den * 1000000.0 + 0.5) / F.lit(1000000.0)).alias(
+            "ewma"
+        ),
     )
 
 

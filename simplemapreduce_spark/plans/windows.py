@@ -375,7 +375,7 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CAST(ROUND(corr(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS c
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) + 0.0 AS DOUBLE) AS c
     FROM events
     QUALIFY COUNT(*) OVER (
       PARTITION BY user_id ORDER BY ts, event_id
@@ -390,6 +390,11 @@ def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame count) so every emitted correlation is over a full
     window; rounded at the boundary because corr's running-moment
     accumulation order can differ between engines in the last ulps.
+    The oracle adds `+ 0.0` after its ROUND: a tiny NEGATIVE
+    correlation rounds to -0.0 in DuckDB's double arithmetic while
+    Spark's BigDecimal-backed round emits +0.0, and the driver-style
+    stringified compare sees "-0.0" != "0.0" (caught by the round-7
+    sf0.1 gate replay; IEEE -0.0 + 0.0 = +0.0 normalizes it).
 
     Scale shape: one shuffle on user_id, one sort per partition, and
     corr runs as an incremental frame aggregate (constant per-row
