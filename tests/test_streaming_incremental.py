@@ -301,7 +301,49 @@ def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
     q2.stop()
     resumed_rows = sum(p["numInputRows"] for p in q2.recentProgress)
 
-    assert rows(out) == ref
+    got = rows(out)
+    if got != ref:
+        # One unreproduced failure in a round-7 full-suite run (44
+        # clean reproduction attempts since: solo loops, CPU-loaded
+        # runs, a deterministic kill-point scan k=1..7 and 20 random
+        # mid-batch kills — see BASELINE.md watch entry): if it ever
+        # fires again, capture everything the postmortem needed last
+        # time. Forensics, then fail hard.
+        def _prog(q):
+            out_p = []
+            for p in q.recentProgress:
+                row = {}
+                for k in ("batchId", "numInputRows", "eventTime"):
+                    try:
+                        row[k] = p[k]
+                    except Exception:  # noqa: BLE001 — field absent
+                        pass
+                out_p.append(row)
+            return out_p
+
+        def _ls(d):
+            hits = []
+            for root, _dirs, files in os.walk(d):
+                for f in sorted(files):
+                    rel = os.path.relpath(os.path.join(root, f), d)
+                    hits.append(rel)
+            return hits
+
+        lines = [
+            f"batches1={batches1} resumed_rows={resumed_rows}",
+            f"run1 progress: {_prog(q1)}",
+            f"run2 progress: {_prog(q2)}",
+            f"ckpt offsets/commits: {_ls(os.path.join(ckpt, 'offsets'))} "
+            f"{_ls(os.path.join(ckpt, 'commits'))}",
+            f"extra in resumed output ({len(got - ref)}):",
+            *(f"  + {r}" for r in sorted(got - ref)),
+            f"missing from resumed output ({len(ref - got)}):",
+            *(f"  - {r}" for r in sorted(ref - got)),
+        ]
+        raise AssertionError(
+            "kill-and-resume output != uninterrupted reference\n"
+            + "\n".join(lines)
+        )
     # The kill must have been mid-replay for the resume to be
     # meaningful: run 2 consumed input unless run 1 genuinely drained
     # every file before the stop landed.
