@@ -303,10 +303,11 @@ def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
 
     got = rows(out)
     if got != ref:
-        # One unreproduced failure in a round-7 full-suite run (44
+        # One unreproduced failure in a round-7 full-suite run (100+
         # clean reproduction attempts since: solo loops, CPU-loaded
-        # runs, a deterministic kill-point scan k=1..7 and 20 random
-        # mid-batch kills — see BASELINE.md watch entry): if it ever
+        # runs, a deterministic kill-point scan k=1..7, 80 random
+        # mid-batch kills, two clean full suites — see BASELINE.md
+        # watch entry): if it ever
         # fires again, capture everything the postmortem needed last
         # time. Forensics, then fail hard.
         def _prog(q):
