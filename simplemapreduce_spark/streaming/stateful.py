@@ -331,7 +331,22 @@ def sessionize_stateful_stream(events: DataFrame) -> DataFrame:
             elif t - cur[1] > gap_us:
                 out.append((uid, cur[0], cur[1], cur[2], "gap"))
                 cur = [t, t, 0]
-            cur[1] = t
+            # The session span is a min/max ENVELOPE, not last-write-
+            # wins: a within-watermark late event that is OLDER than
+            # the open session's max must never move last_us backward
+            # (it would shrink the span and break the start<=last
+            # invariant every downstream consumer may assume). For
+            # in-order sources — the catalog replay and the ranged
+            # kill-and-resume fixture, where each batch's min is >=
+            # the previous batch's max — min/max is exactly the old
+            # behavior; it differs only for genuinely out-of-order
+            # multi-batch sources, where absorbing the late event into
+            # the envelope is the documented degradation of a single-
+            # open-session state machine (retro-splitting would need
+            # watermark-delayed buffering like the built-in
+            # session_window).
+            cur[0] = min(cur[0], t)
+            cur[1] = max(cur[1], t)
             cur[2] += 1
         state.update(tuple(cur))
         # Clamp the timeout to strictly-after the current watermark:

@@ -349,3 +349,80 @@ def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
     # meaningful: run 2 consumed input unless run 1 genuinely drained
     # every file before the stop landed.
     assert resumed_rows > 0 or batches1 >= N_FILES
+
+
+def test_sessionize_late_event_extends_envelope_not_shrinks_last(spark, tmp_path):
+    """A within-watermark late event OLDER than the open session's max
+    must extend the session span backward (min/max envelope), never
+    move last_us backward: batch 1 carries user 1 at 10:00 and 10:05,
+    batch 2 opens with 09:50 (admitted — the watermark is 09:35) and
+    then 12:00 (gap-closes the session). The envelope row is
+    (09:50, 10:05, n=3); the pre-fix last-write-wins update instead
+    emitted the impossible (10:00, 09:50, 3) with start > last. Also
+    asserts the start<=last invariant globally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from simplemapreduce_spark.streaming.stateful import sessionize_stateful_stream
+
+    base_us = 1_709_287_200_000_000  # 2024-03-01T10:00:00Z
+    minute = 60 * 1_000_000
+
+    def write_file(path, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    write_file(
+        str(src / "b1.parquet"),
+        [(1, base_us, 1), (2, base_us + 5 * minute, 1)],
+        now - 60,
+    )
+    write_file(
+        str(src / "b2.parquet"),
+        [(3, base_us - 10 * minute, 1), (4, base_us + 120 * minute, 1)],
+        now,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    from simplemapreduce_spark.functions.time import ntz_as_event_time
+
+    sess = sessionize_stateful_stream(stream.withColumn("ts", ntz_as_event_time("ts")))
+    out = str(tmp_path / "out")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    assert all(r.start_us <= r.last_us for r in rows), rows
+    got = {(r.user_id, r.start_us, r.last_us, r.n_events, r.closed_by) for r in rows}
+    assert got == {(1, base_us - 10 * minute, base_us + 5 * minute, 3, "gap")}, got
