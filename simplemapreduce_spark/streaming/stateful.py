@@ -285,6 +285,39 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_advance(
+    cur: list | None, ts_us: list, gap_us: int
+) -> tuple[list[tuple[int, int, int]], list]:
+    """The sessionize state-machine core, pure and driver-side testable
+    (property-fuzzed in tests/test_sessionize_property.py): advance one
+    open-session state ``[start_us, last_us, n]`` (or None) through a
+    batch of SORTED event timestamps; return (closed sessions as
+    (start, last, n) triples, new open state).
+
+    The session span is a min/max ENVELOPE, not last-write-wins: a
+    within-watermark late event OLDER than the open session's max must
+    never move last_us backward (it would shrink the span and break the
+    start<=last invariant every downstream consumer may assume). For
+    in-order sources — the catalog replay and the range-partitioned
+    kill-and-resume fixture, where each batch's min is >= the previous
+    batch's max — min/max is exactly last-write-wins; it differs only
+    for genuinely out-of-order multi-batch sources, where absorbing the
+    late event into the envelope is the documented degradation of a
+    single-open-session state machine (retro-splitting would need
+    watermark-delayed buffering like the built-in session_window)."""
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_us:
+        if cur is None:
+            cur = [t, t, 0]
+        elif t - cur[1] > gap_us:
+            closed.append((cur[0], cur[1], cur[2]))
+            cur = [t, t, 0]
+        cur[0] = min(cur[0], t)
+        cur[1] = max(cur[1], t)
+        cur[2] += 1
+    return closed, cur
+
+
 def sessionize_stateful_stream(events: DataFrame) -> DataFrame:
     """The sessionize state machine as a reusable STREAMING DataFrame
     (watermark + applyInPandasWithState, append mode) over any
@@ -322,32 +355,10 @@ def sessionize_stateful_stream(events: DataFrame) -> DataFrame:
         # session offset on a non-UTC driver (caught by the round-6
         # full-catalog TZ-invariance sweep).
         df = pd.concat(parts).sort_values(["ts_us", "event_id"])
-        ts_us = df["ts_us"].tolist()
-        cur = list(state.get) if state.exists else None
-        out = []
-        for t in ts_us:
-            if cur is None:
-                cur = [t, t, 0]
-            elif t - cur[1] > gap_us:
-                out.append((uid, cur[0], cur[1], cur[2], "gap"))
-                cur = [t, t, 0]
-            # The session span is a min/max ENVELOPE, not last-write-
-            # wins: a within-watermark late event that is OLDER than
-            # the open session's max must never move last_us backward
-            # (it would shrink the span and break the start<=last
-            # invariant every downstream consumer may assume). For
-            # in-order sources — the catalog replay and the ranged
-            # kill-and-resume fixture, where each batch's min is >=
-            # the previous batch's max — min/max is exactly the old
-            # behavior; it differs only for genuinely out-of-order
-            # multi-batch sources, where absorbing the late event into
-            # the envelope is the documented degradation of a single-
-            # open-session state machine (retro-splitting would need
-            # watermark-delayed buffering like the built-in
-            # session_window).
-            cur[0] = min(cur[0], t)
-            cur[1] = max(cur[1], t)
-            cur[2] += 1
+        closed, cur = sessionize_advance(
+            list(state.get) if state.exists else None, df["ts_us"].tolist(), gap_us
+        )
+        out = [(uid, s, l, n, "gap") for s, l, n in closed]
         state.update(tuple(cur))
         # Clamp the timeout to strictly-after the current watermark:
         # on an out-of-order source (multi-file replay, late-tolerant

@@ -1,0 +1,87 @@
+"""Property fuzz of the sessionize state-machine core
+(`streaming.stateful.sessionize_advance`) — pure driver-side, no Spark.
+
+P1 (the operator's documented contract — batches in order ACROSS
+batches, i.e. each batch's min >= the previous batch's max, as both the
+catalog replay and any range-partitioned log replay guarantee): feeding
+the events through ANY such batch split must emit exactly the non-final
+islands of the classic gaps-and-islands decomposition of the full
+sorted sequence, with the final island left open in state — batch
+boundaries must be semantically invisible.
+
+P2 (arbitrary, even out-of-order, batch splits): structural invariants
+hold regardless — every closed session and the open state satisfy
+start <= last and n >= 1, and event counts are conserved.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from simplemapreduce_spark.streaming.stateful import sessionize_advance
+
+GAP = 1_000  # small gap so random fixtures genuinely split
+
+
+def islands(sorted_ts: list[int], gap: int) -> list[tuple[int, int, int]]:
+    """Reference gaps-and-islands over one fully-sorted sequence."""
+    out = []
+    cur = None
+    for t in sorted_ts:
+        if cur is None or t - cur[1] > gap:
+            if cur is not None:
+                out.append(tuple(cur))
+            cur = [t, t, 0]
+        cur[1] = t
+        cur[2] += 1
+    if cur is not None:
+        out.append(tuple(cur))
+    return out
+
+
+def run_batches(batches: list[list[int]]):
+    state = None
+    closed = []
+    for b in batches:
+        got, state = sessionize_advance(state, sorted(b), GAP)
+        closed.extend(got)
+    return closed, state
+
+
+@st.composite
+def ordered_batches(draw):
+    ts = sorted(draw(st.lists(st.integers(0, 50_000), min_size=1, max_size=60)))
+    cuts = sorted(draw(st.lists(st.integers(0, len(ts)), max_size=6)))
+    bounds = [0, *cuts, len(ts)]
+    return [ts[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+
+@given(ordered_batches())
+@settings(max_examples=200, deadline=None)
+def test_in_order_batch_splits_are_invisible(batches):
+    all_ts = sorted(t for b in batches for t in b)
+    ref = islands(all_ts, GAP)
+    closed, state = run_batches(batches)
+    assert closed == ref[:-1]
+    assert tuple(state) == ref[-1]
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 50_000), min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_arbitrary_batches_keep_structural_invariants(batches):
+    batches = [b for b in batches if b]
+    if not batches:
+        return
+    closed, state = run_batches(batches)
+    n_total = sum(len(b) for b in batches)
+    for s, l, n in closed:
+        assert s <= l and n >= 1
+    assert state[0] <= state[1] and state[2] >= 1
+    assert sum(n for _, _, n in closed) + state[2] == n_total
