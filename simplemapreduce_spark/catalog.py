@@ -56,62 +56,60 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # checked. At 50/round the never-checked queue clears in 3 rounds —
 # catalog frozen at 364 until then (VERDICT r6 #4).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- re-verify: r6 FAIL, oracle type fixed (quality) --
-    "q_text_encoding_audit",
-    # -- re-verify: output type changed since its r5 green (graph) --
+    # -- re-verify: latest driver status FAIL --
     "q_graph_label_propagation",
-    # -- never driver-checked (stats) --
-    "q_agg_regression",
-    "q_event_entropy",
-    "q_pareto_frontier",
-    "q_join_fuzzy",
-    "q_skew_report",
-    "q_events_anomaly",
-    "q_events_anomaly_seasonal",
-    "q_drift_psi",
-    "q_outlier_mad",
-    "q_histogram_equidepth",
-    "q_chi_square_contingency",
-    "q_ab_test_ztest",
-    "q_feature_scaling",
-    "q_ks_two_sample",
-    "q_mutual_information",
-    "q_mannwhitney_u",
-    "q_events_burstiness",
-    "q_rank_corr_spearman",
-    "q_events_gini",
-    "q_histogram_equiwidth",
-    "q_jackknife_ratio_se",
-    # -- never driver-checked (analytics) --
-    "q_event_transitions",
-    "q_market_basket_pairs",
-    "q_survival_hazard",
-    "q_attribution_touch",
-    "q_rfm_segments",
-    "q_revenue_contribution",
-    "q_event_sequence_pattern",
-    "q_funnel_deadline",
-    "q_events_dau_wau",
-    "q_sessions_bounce_rate",
-    "q_events_calendar_heatmap",
-    "q_events_top_movers",
-    "q_events_new_vs_returning",
-    # -- never driver-checked (relational_more) --
-    "q_agg_conditional",
-    "q_window_percent_rank",
-    "q_agg_bitwise",
-    "q_agg_hll_merge",
-    "q_pivot_multi_agg",
-    "q_agg_grouping_id",
-    "q_source_csv_malformed",
-    "q_source_parquet_schema_evolution",
-    "q_agg_filter_clause",
-    "q_agg_percentile_cont",
-    "q_agg_weighted_median",
-    "q_agg_trimmed_mean",
-    "q_agg_geomean",
-    # -- never driver-checked (llm_text starts; slot 50) --
-    "q_text_bigram_lm",
+    # -- never driver-checked (windows) --
+    "q_window_row_number",
+    "q_window_rank",
+    "q_window_ntile",
+    "q_window_first_last",
+    "q_window_cume_dist",
+    "q_window_nth_value",
+    "q_window_cumulative_distinct",
+    "q_window_moving_median",
+    "q_window_range_interval",
+    "q_window_rolling_corr",
+    "q_stream_tumbling",
+    "q_stream_global_agg",
+    "q_stream_chained_agg",
+    "q_stream_sliding",
+    "q_stream_session_window",
+    "q_stream_static_join",
+    "q_stream_stream_left_outer",
+    "q_stream_dedup_watermarked",
+    "q_source_python_stream",
+    "q_stream_stream_semi",
+    "q_stream_stream_full_outer",
+    # -- never driver-checked (timeseries) --
+    "q_ts_sliding",
+    "q_ts_sessionize_stats",
+    "q_ts_downsample",
+    "q_ts_percentiles",
+    "q_ts_interpolate",
+    "q_ts_trend_forecast",
+    "q_ts_ohlc",
+    "q_ts_asof_nearest",
+    "q_ts_rollup_distinct",
+    "q_ts_changepoint",
+    "q_join_interval_overlap",
+    "q_reaggregate_rollup",
+    "q_ts_gaps_islands",
+    "q_ts_interval_union",
+    "q_ts_autocorr",
+    "q_ts_ewma",
+    "q_ts_asof_tolerance",
+    "q_ts_interarrival",
+    "q_ts_vwap",
+    "q_ts_drawdown",
+    # -- never driver-checked (relational_ext) --
+    "q_scalar_array",
+    "q_scalar_map",
+    "q_unpivot",
+    "q_window_range_frame",
+    "q_sql_api",
+    "q_agg_collect_sorted",
+    "q_agg_median_mode",
+    "q_scalar_variant",
 )
 
 

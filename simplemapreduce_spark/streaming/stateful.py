@@ -287,34 +287,58 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sessionize_advance(
     cur: list | None, ts_us: list, gap_us: int
-) -> tuple[list[tuple[int, int, int]], list]:
+) -> tuple[list[tuple[int, int, int]], list | None]:
     """The sessionize state-machine core, pure and driver-side testable
     (property-fuzzed in tests/test_sessionize_property.py): advance one
     open-session state ``[start_us, last_us, n]`` (or None) through a
     batch of SORTED event timestamps; return (closed sessions as
-    (start, last, n) triples, new open state).
+    (start, last, n) triples, new open state — None iff both the input
+    state and the batch are empty).
 
     The session span is a min/max ENVELOPE, not last-write-wins: a
-    within-watermark late event OLDER than the open session's max must
-    never move last_us backward (it would shrink the span and break the
-    start<=last invariant every downstream consumer may assume). For
-    in-order sources — the catalog replay and the range-partitioned
-    kill-and-resume fixture, where each batch's min is >= the previous
-    batch's max — min/max is exactly last-write-wins; it differs only
-    for genuinely out-of-order multi-batch sources, where absorbing the
-    late event into the envelope is the documented degradation of a
-    single-open-session state machine (retro-splitting would need
-    watermark-delayed buffering like the built-in session_window)."""
+    within-watermark late event OLDER than the open session's max but
+    within the gap of its start must never move last_us backward (it
+    would shrink the span and break the start<=last invariant every
+    downstream consumer may assume). A late event older than the open
+    session's START by MORE than the gap is not part of that session
+    at all: it accumulates into a separate late island (merging with
+    adjacent late events under the same gap rule) that closes either
+    against the next late event or at batch end — unless its tail
+    lands within the gap of the open session's start, in which case
+    the two are one session by the gap semantics and the envelopes
+    merge. Pre-round-8 behavior absorbed such events into the open
+    envelope, silently widening sessions across a super-gap hole
+    (ADVICE r7 #1). For in-order sources — the catalog replay and the
+    range-partitioned kill-and-resume fixture, where each batch's min
+    is >= the previous batch's max — the late path is unreachable and
+    the machine is exactly last-write-wins gaps-and-islands."""
     closed: list[tuple[int, int, int]] = []
+    late: list | None = None  # open island strictly older than cur
     for t in ts_us:
         if cur is None:
-            cur = [t, t, 0]
+            cur = [t, t, 1]
+        elif cur[0] - t > gap_us:
+            if late is None:
+                late = [t, t, 1]
+            elif t - late[1] > gap_us:
+                closed.append((late[0], late[1], late[2]))
+                late = [t, t, 1]
+            else:
+                late[1] = max(late[1], t)
+                late[2] += 1
         elif t - cur[1] > gap_us:
             closed.append((cur[0], cur[1], cur[2]))
-            cur = [t, t, 0]
-        cur[0] = min(cur[0], t)
-        cur[1] = max(cur[1], t)
-        cur[2] += 1
+            cur = [t, t, 1]
+        else:
+            cur[0] = min(cur[0], t)
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+    if late is not None:
+        if cur[0] - late[1] <= gap_us:  # island abuts the open session
+            cur[0] = min(cur[0], late[0])
+            cur[2] += late[2]
+        else:
+            closed.append((late[0], late[1], late[2]))
     return closed, cur
 
 
@@ -359,6 +383,17 @@ def sessionize_stateful_stream(events: DataFrame) -> DataFrame:
             list(state.get) if state.exists else None, df["ts_us"].tolist(), gap_us
         )
         out = [(uid, s, l, n, "gap") for s, l, n in closed]
+        # cur is non-None here (the empty-parts guard returned above and
+        # df has rows), but the pure core's contract allows None for an
+        # empty batch — keep the call-site honest rather than relying on
+        # the upstream guard at a distance (ADVICE r7 #2).
+        if cur is None:
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["user_id", "start_us", "last_us", "n_events", "closed_by"],
+                )
+            return
         state.update(tuple(cur))
         # Clamp the timeout to strictly-after the current watermark:
         # on an out-of-order source (multi-file replay, late-tolerant

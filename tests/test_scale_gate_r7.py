@@ -36,7 +36,12 @@ def test_duckdb_double_cast_rounds_where_spark_truncates(spark):
     the upper bin under DuckDB's CAST but the lower bin under Spark's.
     If either engine ever changes this semantic, the catalog-wide
     'no bare double->int CAST in oracles' class scan needs re-running."""
-    d = duckdb.connect().execute("SELECT CAST(49999.6 AS BIGINT)").fetchone()[0]
+    # 49999.6::DOUBLE, not the bare literal: an undecorated 49999.6
+    # types as DECIMAL(6,1) in DuckDB, which would pin DECIMAL->BIGINT
+    # rounding instead of the double->int class this test documents
+    # (ADVICE r7 #3). Both happen to round, but the pinned hazard must
+    # be the one named.
+    d = duckdb.connect().execute("SELECT CAST(49999.6::DOUBLE AS BIGINT)").fetchone()[0]
     s = spark.sql("SELECT CAST(CAST(49999.6 AS DOUBLE) AS BIGINT) AS v").collect()[0].v
     assert d == 50000, "DuckDB CAST(double AS BIGINT) is round-to-nearest"
     assert s == 49999, "Spark CAST(double AS BIGINT) is truncate-toward-zero"

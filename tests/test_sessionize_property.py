@@ -85,3 +85,65 @@ def test_arbitrary_batches_keep_structural_invariants(batches):
         assert s <= l and n >= 1
     assert state[0] <= state[1] and state[2] >= 1
     assert sum(n for _, _, n in closed) + state[2] == n_total
+
+
+# --- round-8 late-island semantics (ADVICE r7 #1) ---------------------
+
+
+def test_super_gap_late_event_is_its_own_island_not_absorbed():
+    """The exact ADVICE reproduction: state [1000, 1100], gap 100, late
+    event 500 — pre-fix the envelope silently widened to [500, 1100];
+    now the late event closes as its own singleton and the open session
+    is untouched."""
+    closed, state = sessionize_advance([1000, 1100, 2], [500], 100)
+    assert closed == [(500, 500, 1)]
+    assert state == [1000, 1100, 2]
+
+
+def test_adjacent_late_events_merge_into_one_island():
+    closed, state = sessionize_advance([1000, 1100, 2], [100, 150, 500], 100)
+    assert closed == [(100, 150, 2), (500, 500, 1)]
+    assert state == [1000, 1100, 2]
+
+
+def test_late_island_abutting_open_session_merges_envelopes():
+    """850 is super-gap-late vs start 1000, but 901 (within gap of 1000)
+    pulls the open start down to 901, putting the island within the gap
+    of the session — one session by the gap rule, envelopes merge."""
+    closed, state = sessionize_advance([1000, 1100, 2], [850, 901], 100)
+    assert closed == []
+    assert state == [850, 1100, 4]
+
+
+def test_within_gap_late_event_still_absorbed_into_envelope():
+    closed, state = sessionize_advance([1000, 1100, 2], [950], 100)
+    assert closed == []
+    assert state == [950, 1100, 3]
+
+
+def test_empty_batch_returns_state_unchanged_and_none_passthrough():
+    assert sessionize_advance([1000, 1100, 2], [], 100) == ([], [1000, 1100, 2])
+    assert sessionize_advance(None, [], 100) == ([], None)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 50_000), min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_arbitrary_batches_no_closed_session_spans_a_super_gap_hole(batches):
+    """P3: with the late-island fix, no emitted session's span can
+    exceed (n - 1) * gap — the tightest width bound a gap rule allows —
+    so a session can never bridge a hole wider than the gap per event."""
+    batches = [b for b in batches if b]
+    if not batches:
+        return
+    closed, state = run_batches(batches)
+    for s, l, n in closed:
+        assert l - s <= (n - 1) * GAP
+    if state is not None:
+        s, l, n = state
+        assert l - s <= (n - 1) * GAP

@@ -25,6 +25,7 @@ Exit code 0 iff every resumed output equals the reference.
 from __future__ import annotations
 
 import argparse
+import atexit
 import os
 import random
 import shutil
@@ -56,6 +57,11 @@ def main() -> int:
     ev = load_table(spark, args.sf_dir, "events")
     schema = ev.schema
     base = tempfile.mkdtemp(prefix="kill_resume_scan_")
+    # Exception-safe scratch cleanup (ADVICE r7 #4): an assert or
+    # mid-sweep failure must not leak the tempdir. atexit fires on both
+    # normal exit and unhandled exceptions from main(); the explicit
+    # rmtree at the end keeps the happy path eager.
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     ranged = os.path.join(base, "ranged")
     ev.repartitionByRange(N_FILES, "ts").sortWithinPartitions("ts").write.mode(
         "overwrite"
@@ -89,12 +95,18 @@ def main() -> int:
     ref_out = os.path.join(base, "out_ref")
     q = start(ref_out, os.path.join(base, "ckpt_ref"), availableNow=True)
     assert q.awaitTermination(300)
+    # Derive the points range from the OBSERVED reference batch count,
+    # not a hardcoded 1..7: the fixture has N_FILES data files (plus
+    # availableNow bookkeeping batches), and waiting for a batch count
+    # the run can never reach turns each extra k into a dead 120 s
+    # deadline wait (ADVICE r7 #4).
+    ref_batches = len(q.recentProgress)
     q.stop()
     ref = rows(ref_out)
-    print(f"ref: {len(ref)} rows @ {args.sf_dir}", flush=True)
+    print(f"ref: {len(ref)} rows, {ref_batches} batches @ {args.sf_dir}", flush=True)
 
     rng = random.Random(args.seed)
-    runs = range(1, 8) if args.mode == "points" else range(args.iters)
+    runs = range(1, max(ref_batches, 2)) if args.mode == "points" else range(args.iters)
     fails = 0
     for i in runs:
         out = os.path.join(base, f"out_{i}")

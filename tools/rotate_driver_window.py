@@ -33,6 +33,13 @@ sys.path.insert(0, REPO)
 WINDOW = 50
 CATALOG_PATH = os.path.join(REPO, "simplemapreduce_spark", "catalog.py")
 
+# Judge-prescribed module order for the current window, if any (VERDICT
+# r7 "Next round" #3 pins window 8 as windows + timeseries + the first
+# relational_ext queries). Modules listed here come first, in this
+# order; remaining unchecked modules follow under the default
+# smallest-pocket-first policy. Cleared when empty.
+MODULE_PRIORITY: tuple[str, ...] = ("windows", "timeseries", "relational_ext")
+
 
 def build_window() -> list[tuple[str, str]]:
     from simplemapreduce_spark import catalog
@@ -54,7 +61,12 @@ def build_window() -> list[tuple[str, str]]:
     )
 
     window: list[tuple[str, str]] = [(n, "re-verify: latest driver status FAIL") for n in fails]
-    for mod in sorted(unchecked_by_mod, key=lambda m: (len(unchecked_by_mod[m]), m)):
+
+    def mod_key(m: str):
+        pri = MODULE_PRIORITY.index(m) if m in MODULE_PRIORITY else len(MODULE_PRIORITY)
+        return (pri, len(unchecked_by_mod[m]), m)
+
+    for mod in sorted(unchecked_by_mod, key=mod_key):
         for n in unchecked_by_mod[mod]:
             window.append((n, f"never driver-checked ({mod})"))
     for n in checked:
