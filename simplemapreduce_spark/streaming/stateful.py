@@ -342,6 +342,48 @@ def sessionize_advance(
     return closed, cur
 
 
+def sessionize_islands(
+    events: list[tuple[int, int]], gap_us: int
+) -> tuple[set, dict]:
+    """Batch reference semantics for the sessionizer: the classic
+    gaps-and-islands decomposition of (user_id, ts_us) pairs.
+
+    Returns ``(non_final, final)`` where ``non_final`` is the set of
+    (user, start, last, n) sessions every correct in-order replay MUST
+    close (by gap or by timeout — WHICH of the two is a batching
+    artifact, not data semantics: a session whose owner goes quiet
+    times out in a run where the next event lands in a later batch but
+    gap-closes in a run that lumps the batches), and ``final`` maps
+    each user to their last island, which a replay either closes by
+    timeout (if the final watermark passed it) or withholds (append
+    mode). Used by the kill-and-resume harness to assert ABSOLUTE
+    correctness — round 8's watch postmortem showed relative
+    (ref-vs-resumed) comparison alone cannot see a whole file being
+    silently watermark-dropped in BOTH runs."""
+    by_user: dict[int, list[int]] = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    non_final: set = set()
+    final: dict = {}
+    for u, tss in by_user.items():
+        tss.sort()
+        cur = None
+        islands = []
+        for t in tss:
+            if cur is None or t - cur[1] > gap_us:
+                if cur is not None:
+                    islands.append(tuple(cur))
+                cur = [t, t, 0]
+            cur[1] = t
+            cur[2] += 1
+        islands.append(tuple(cur))
+        for s, l, n in islands[:-1]:
+            non_final.add((u, s, l, n))
+        s, l, n = islands[-1]
+        final[u] = (u, s, l, n)
+    return non_final, final
+
+
 def sessionize_stateful_stream(events: DataFrame) -> DataFrame:
     """The sessionize state machine as a reusable STREAMING DataFrame
     (watermark + applyInPandasWithState, append mode) over any

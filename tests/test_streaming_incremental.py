@@ -249,6 +249,17 @@ def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
     ev.repartitionByRange(N_FILES, "ts").sortWithinPartitions("ts").write.mode(
         "overwrite"
     ).parquet(ranged)
+    # Stamp ascending mtimes so the file stream replays in RANGE order:
+    # FileStreamSource orders by modification time (= task completion
+    # order after a parallel write — nondeterministic). Without this,
+    # the watermark silently dropped whole out-of-order files in BOTH
+    # runs, and a kill+resume could repack the catch-up batch so one
+    # run admitted a file the other dropped — the round-7 "impossible
+    # session" suite failure, root-caused in round 8 (BASELINE.md
+    # postmortem).
+    from tools.kill_resume_scan import order_ranged_mtimes
+
+    order_ranged_mtimes(ranged)
 
     def source():
         return (
@@ -285,6 +296,36 @@ def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
     ref = rows(ref_out)
     assert ref, "reference run produced no sessions; fixture changed?"
 
+    # ABSOLUTE correctness gate (round-8 postmortem): the reference
+    # must equal the batch gaps-and-islands decomposition. Relative
+    # ref-vs-resumed comparison alone cannot see a whole file being
+    # watermark-dropped in BOTH runs.
+    from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS
+    from simplemapreduce_spark.streaming.stateful import sessionize_islands
+
+    events = [
+        (r.u, r.us)
+        for r in ev.select(
+            F.col("user_id").alias("u"),
+            F.unix_micros(ntz_as_event_time("ts")).alias("us"),
+        ).collect()
+    ]
+    non_final, final = sessionize_islands(events, SESSION_GAP_MICROS)
+    finals = set(final.values())
+
+    def keys(rowset):
+        return {(u, s, l, n) for u, s, l, n, _ in rowset}
+
+    ref_keys = keys(ref)
+    assert not (non_final - ref_keys), (
+        f"reference silently dropped {len(non_final - ref_keys)} sessions "
+        f"(out-of-order replay readmitted?): {sorted(non_final - ref_keys)[:5]}"
+    )
+    assert not (ref_keys - non_final - finals), (
+        f"reference invented sessions: "
+        f"{sorted(ref_keys - non_final - finals)[:5]}"
+    )
+
     # Run 1: kill after the first micro-batch commits, mid-replay.
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -302,14 +343,21 @@ def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
     resumed_rows = sum(p["numInputRows"] for p in q2.recentProgress)
 
     got = rows(out)
-    if got != ref:
-        # One unreproduced failure in a round-7 full-suite run (100+
-        # clean reproduction attempts since: solo loops, CPU-loaded
-        # runs, a deterministic kill-point scan k=1..7, 80 random
-        # mid-batch kills, two clean full suites — see BASELINE.md
-        # watch entry): if it ever
-        # fires again, capture everything the postmortem needed last
-        # time. Forensics, then fail hard.
+    # Compare SESSION KEYS (user, start, last, n) — the data semantics.
+    # closed_by is deliberately excluded: gap-vs-timeout for the same
+    # session is a batch-composition artifact (a resume that lumps the
+    # remaining files into one catch-up batch closes by gap what the
+    # per-file reference closes by timeout), not a correctness
+    # difference. FINAL islands are closed-or-withheld per run (a kill
+    # after the last file leaves the restart with no new data, so the
+    # no-data batch that flushes overdue timeouts never runs), so the
+    # strict check is: all non-final islands present, nothing invented.
+    # The round-7 "impossible session" suite failure was root-caused in
+    # round 8 to the unordered fixture (see the order_ranged_mtimes
+    # note above); with the ordered fixture this gate is absolute.
+    got_keys = keys(got)
+    if (non_final - got_keys) or (got_keys - non_final - finals):
+        # Forensics, then fail hard (round-7 watch discipline).
         def _prog(q):
             out_p = []
             for p in q.recentProgress:
