@@ -145,16 +145,29 @@ def test_kmeans_fit_iters_zero_with_memo(spark, sf_dir):
     assert sorted((r["cid"], tuple(r["ce"])) for r in again.collect()) == rows
 
 
-def test_lpa_checksum_is_decimal38(spark, sf_dir):
-    """The label-propagation checksum must accumulate in decimal(38,0):
-    an int64 node*label sum can exceed BIGINT at large scale factors,
-    where non-ANSI Spark wraps silently while the DuckDB oracle errors
-    — the engines diverging differently instead of together."""
-    from pyspark.sql.types import DecimalType
+def test_lpa_checksum_accumulates_wide_but_emits_string(spark, sf_dir):
+    """The label-propagation checksum must ACCUMULATE in decimal(38,0)
+    — an int64 node*label sum can exceed BIGINT at large scale factors,
+    where non-ANSI Spark wraps silently while the DuckDB oracle errors,
+    the engines diverging differently instead of together — but must
+    EMIT string: round 7 proved the driver's value hash fails on
+    128-bit-physical output columns even when both engines declare the
+    identical type and hold identical values (TYPECHECK.md round-8
+    addendum; the original r6 pin asserted the decimal REACHED the
+    output, which is exactly what the no-allowlist wide-type ban now
+    forbids). The wide accumulation is pinned by parsing the plan: the
+    aggregate's sum must be decimal(38,0) before the final cast."""
+    from pyspark.sql.types import StringType
 
     df = catalog.QUERIES["q_graph_label_propagation"](spark, sf_dir)
     field = dict(zip(df.schema.names, df.schema.fields))["checksum"]
-    assert field.dataType == DecimalType(38, 0), field.dataType
+    assert field.dataType == StringType(), field.dataType
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "decimal(38,0)" in plan, "wide internal accumulation removed?"
+    # Values survive the string rendering: every checksum parses back
+    # to a positive integer (the sum of positive node*label products).
+    for r in df.collect():
+        assert int(r["checksum"]) > 0
 
 
 def test_streaming_window_bounds_survive_nonutc_session(spark, sf_dir):
