@@ -144,9 +144,116 @@ def _postmortem(spark, out, ckpt, q1, q2, ref, got) -> None:
         print(f"  -- raw-glob read failed: {e}")
 
 
+def disorder_sweep(spark, ev, schema, ranged, base, args) -> int:
+    """ADVERSARIAL ordering mode: replay the ranged files in hostile
+    (reversed and shuffled) mtime orders and assert STRUCTURAL safety
+    — the degradation contract of the single-open-session state
+    machine under genuinely out-of-order multi-batch sources, the
+    exact class behind the round-7 'impossible session' failure.
+
+    Out-of-order replay legitimately watermark-drops data, so no
+    output-set equality is possible; what must hold in EVERY ordering,
+    killed or not:
+      * no impossible records: start <= last, n >= 1;
+      * no super-gap bridging: last - start <= (n - 1) * gap (the
+        late-island width bound, property P3);
+      * endpoint realness: every session's start and last are actual
+        event timestamps of that user;
+      * conservation: total emitted n_events <= total events (no
+        duplication), per user.
+    """
+    import glob as _glob
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from simplemapreduce_spark.functions.time import (
+        SESSION_GAP_MICROS,
+        ntz_as_event_time,
+    )
+    from simplemapreduce_spark.streaming.stateful import sessionize_stateful_stream
+
+    gap = SESSION_GAP_MICROS
+    truth: dict[int, set[int]] = {}
+    for r in ev.select(
+        F.col("user_id").alias("u"),
+        F.unix_micros(ntz_as_event_time("ts")).alias("us"),
+    ).collect():
+        truth.setdefault(r.u, set()).add(r.us)
+    n_events_total = sum(len(v) for v in truth.values())
+
+    parts = sorted(_glob.glob(os.path.join(ranged, "part-*.parquet")))
+    rng = _random.Random(args.seed)
+    orders = [list(reversed(range(len(parts))))]
+    for _ in range(max(args.iters - 1, 0)):
+        o = list(range(len(parts)))
+        rng.shuffle(o)
+        orders.append(o)
+
+    def source():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ranged)
+            .withColumn("ts", ntz_as_event_time("ts"))
+        )
+
+    fails = 0
+    for i, order in enumerate(orders):
+        now = time.time()
+        for rank, k in enumerate(order):
+            t = now - 10 * (len(order) - rank)
+            os.utime(parts[k], (t, t))
+        out = os.path.join(base, f"dis_out_{i}")
+        ckpt = os.path.join(base, f"dis_ckpt_{i}")
+        q = (
+            sessionize_stateful_stream(source())
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        q.stop()
+        rows = spark.read.parquet(out).collect()
+        bad = []
+        per_user_n: dict[int, int] = {}
+        for r in rows:
+            u, s, l, n = r.user_id, r.start_us, r.last_us, r.n_events
+            per_user_n[u] = per_user_n.get(u, 0) + n
+            if not (s <= l and n >= 1):
+                bad.append(f"impossible ({u},{s},{l},{n})")
+            if l - s > (n - 1) * gap:
+                bad.append(f"super-gap bridge ({u},{s},{l},{n})")
+            if s not in truth.get(u, ()) or l not in truth.get(u, ()):
+                bad.append(f"phantom endpoint ({u},{s},{l},{n})")
+        for u, tot in per_user_n.items():
+            if tot > len(truth[u]):
+                bad.append(f"user {u} duplicated: emitted {tot} > {len(truth[u])}")
+        if bad:
+            fails += 1
+            print(f"order={order} VIOLATIONS ({len(bad)}):")
+            for b in bad[:8]:
+                print("  ", b)
+        else:
+            emitted = sum(per_user_n.values())
+            print(f"order={order} ok: {len(rows)} sessions, "
+                  f"{emitted}/{n_events_total} events surfaced "
+                  f"({n_events_total - emitted} watermark-dropped or open)",
+                  flush=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    print("FAILS:", fails)
+    return 1 if fails else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("random", "points"), default="random")
+    ap.add_argument(
+        "--mode", choices=("random", "points", "disorder"), default="random"
+    )
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
@@ -171,6 +278,8 @@ def main() -> int:
         "overwrite"
     ).parquet(ranged)
     order_ranged_mtimes(ranged)
+    if args.mode == "disorder":
+        return disorder_sweep(spark, ev, schema, ranged, base, args)
 
     def source():
         return (
