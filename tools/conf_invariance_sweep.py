@@ -33,6 +33,11 @@ import os
 
 os.environ["PYTHONPATH"] = REPO
 
+ONLY = ""
+if "--only" in sys.argv:  # comma-separated substrings to subset the catalog
+    k = sys.argv.index("--only")
+    ONLY = sys.argv[k + 1]
+    del sys.argv[k : k + 2]
 if len(sys.argv) < 4:
     raise SystemExit(__doc__)
 KEY, VAL_A, VAL_B = sys.argv[1], sys.argv[2], sys.argv[3]
@@ -59,9 +64,15 @@ def run(fn, value):
             spark.conf.set(KEY, old)
 
 
-print(f"axis: {KEY} = {VAL_A} vs {VAL_B} @ {SF}", flush=True)
+queries = {
+    n: f
+    for n, f in catalog.QUERIES.items()
+    if not ONLY or any(s in n for s in ONLY.split(","))
+}
+print(f"axis: {KEY} = {VAL_A} vs {VAL_B} @ {SF} ({len(queries)} queries)",
+      flush=True)
 bad = []
-for i, (name, fn) in enumerate(catalog.QUERIES.items()):
+for i, (name, fn) in enumerate(queries.items()):
     try:
         if run(fn, VAL_A) != run(fn, VAL_B):
             bad.append(name)
@@ -72,4 +83,4 @@ for i, (name, fn) in enumerate(catalog.QUERIES.items()):
     if (i + 1) % 50 == 0:
         print(f"...{i + 1} done", flush=True)
 print("BAD:", bad)
-print("TOTAL:", len(catalog.QUERIES), "BAD_COUNT:", len(bad))
+print("TOTAL:", len(queries), "BAD_COUNT:", len(bad))
