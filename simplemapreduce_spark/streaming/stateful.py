@@ -314,6 +314,28 @@ def sessionize_advance(
     the machine is exactly last-write-wins gaps-and-islands."""
     closed: list[tuple[int, int, int]] = []
     late: list | None = None  # open island strictly older than cur
+
+    def settle_late(cur_now: list | None) -> list | None:
+        # Resolve the pending island against cur: merge the envelopes
+        # when the island's tail lands within the gap of cur's start
+        # (one session by the gap rule — absorption can shrink cur's
+        # start down to within gap of the island), close the island on
+        # its own otherwise. Must run BEFORE cur is gap-closed, not
+        # only at batch end: deferring it past a mid-batch close would
+        # compare the island against the NEW session and split
+        # within-gap events into two sessions (caught by round-8
+        # review; regression-pinned in tests/test_sessionize_property).
+        nonlocal late
+        if late is None:
+            return cur_now
+        if cur_now is not None and cur_now[0] - late[1] <= gap_us:
+            cur_now[0] = min(cur_now[0], late[0])
+            cur_now[2] += late[2]
+        else:
+            closed.append((late[0], late[1], late[2]))
+        late = None
+        return cur_now
+
     for t in ts_us:
         if cur is None:
             cur = [t, t, 1]
@@ -327,18 +349,14 @@ def sessionize_advance(
                 late[1] = max(late[1], t)
                 late[2] += 1
         elif t - cur[1] > gap_us:
+            cur = settle_late(cur)
             closed.append((cur[0], cur[1], cur[2]))
             cur = [t, t, 1]
         else:
             cur[0] = min(cur[0], t)
             cur[1] = max(cur[1], t)
             cur[2] += 1
-    if late is not None:
-        if cur[0] - late[1] <= gap_us:  # island abuts the open session
-            cur[0] = min(cur[0], late[0])
-            cur[2] += late[2]
-        else:
-            closed.append((late[0], late[1], late[2]))
+    cur = settle_late(cur)
     return closed, cur
 
 

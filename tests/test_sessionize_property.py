@@ -147,3 +147,38 @@ def test_arbitrary_batches_no_closed_session_spans_a_super_gap_hole(batches):
     if state is not None:
         s, l, n = state
         assert l - s <= (n - 1) * GAP
+
+
+def test_late_island_merges_even_when_open_session_gap_closes_mid_batch():
+    """Round-8 review regression: state [1000,1100], gap 100, batch
+    [850, 901, 1300]. 850 opens a late island; 901 shrinks the open
+    start to 901 (island now abuts); 1300 gap-closes the session. The
+    island must be merged into the closing envelope BEFORE the close —
+    the pre-fix code compared it against the NEW session and split
+    within-gap events 850/901 into two sessions."""
+    closed, state = sessionize_advance([1000, 1100, 2], [850, 901, 1300], 100)
+    assert closed == [(850, 1100, 4)]
+    assert state == [1300, 1300, 1]
+
+
+@given(
+    st.lists(st.integers(0, 50_000), min_size=1, max_size=60),
+    st.lists(st.integers(0, 50_000), min_size=0, max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_single_batch_with_prior_state_never_splits_within_gap_events(
+    first, second
+):
+    """P4: after any in-order first batch, feeding ANY second batch in
+    one call must never emit two sessions (closed or open) whose spans
+    are within the gap of each other AND whose union would be a valid
+    single island — i.e. within one advance call the gap rule is
+    honored exactly. Checked pairwise on the emitted set plus state."""
+    _, state = sessionize_advance(None, sorted(first), GAP)
+    closed, state2 = sessionize_advance(list(state), sorted(second), GAP)
+    spans = list(closed) + ([tuple(state2)] if state2 else [])
+    spans.sort()
+    for (s1, l1, _), (s2, l2, _) in zip(spans, spans[1:]):
+        assert s2 - l1 > GAP or (s2 <= l1), (
+            f"adjacent emitted sessions within gap: ({s1},{l1}) ({s2},{l2})"
+        )

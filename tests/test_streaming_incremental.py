@@ -257,7 +257,12 @@ def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
     # run admitted a file the other dropped — the round-7 "impossible
     # session" suite failure, root-caused in round 8 (BASELINE.md
     # postmortem).
-    from tools.kill_resume_scan import order_ranged_mtimes
+    from simplemapreduce_spark.streaming.replay import (
+        duplicate_keys,
+        islands_expectation,
+        order_ranged_mtimes,
+        session_keys,
+    )
 
     order_ranged_mtimes(ranged)
 
@@ -301,22 +306,11 @@ def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
     # ref-vs-resumed comparison alone cannot see a whole file being
     # watermark-dropped in BOTH runs.
     from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS
-    from simplemapreduce_spark.streaming.stateful import sessionize_islands
 
-    events = [
-        (r.u, r.us)
-        for r in ev.select(
-            F.col("user_id").alias("u"),
-            F.unix_micros(ntz_as_event_time("ts")).alias("us"),
-        ).collect()
-    ]
-    non_final, final = sessionize_islands(events, SESSION_GAP_MICROS)
-    finals = set(final.values())
-
-    def keys(rowset):
-        return {(u, s, l, n) for u, s, l, n, _ in rowset}
-
+    non_final, finals = islands_expectation(ev, SESSION_GAP_MICROS)
+    keys = session_keys
     ref_keys = keys(ref)
+    assert not duplicate_keys(ref), sorted(duplicate_keys(ref))[:5]
     assert not (non_final - ref_keys), (
         f"reference silently dropped {len(non_final - ref_keys)} sessions "
         f"(out-of-order replay readmitted?): {sorted(non_final - ref_keys)[:5]}"
@@ -351,12 +345,19 @@ def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
     # difference. FINAL islands are closed-or-withheld per run (a kill
     # after the last file leaves the restart with no new data, so the
     # no-data batch that flushes overdue timeouts never runs), so the
-    # strict check is: all non-final islands present, nothing invented.
-    # The round-7 "impossible session" suite failure was root-caused in
+    # strict check is: all non-final islands present, nothing invented,
+    # and no key emitted twice within the run (double-emission under
+    # two closure labels is the fault mode this test documents — the
+    # key-set compare alone cannot see it, round-8 review). The
+    # round-7 "impossible session" suite failure was root-caused in
     # round 8 to the unordered fixture (see the order_ranged_mtimes
     # note above); with the ordered fixture this gate is absolute.
     got_keys = keys(got)
-    if (non_final - got_keys) or (got_keys - non_final - finals):
+    if (
+        (non_final - got_keys)
+        or (got_keys - non_final - finals)
+        or duplicate_keys(got)
+    ):
         # Forensics, then fail hard (round-7 watch discipline).
         def _prog(q):
             out_p = []

@@ -33,10 +33,14 @@ import os
 
 os.environ["PYTHONPATH"] = REPO
 
-ONLY = ""
+ONLY: list[str] = []
 if "--only" in sys.argv:  # comma-separated substrings to subset the catalog
     k = sys.argv.index("--only")
-    ONLY = sys.argv[k + 1]
+    if k + 1 >= len(sys.argv):
+        raise SystemExit("--only requires a comma-separated substring list")
+    # drop empty substrings: a trailing comma would otherwise match
+    # every query and silently widen the subset to the full catalog
+    ONLY = [s for s in sys.argv[k + 1].split(",") if s]
     del sys.argv[k : k + 2]
 if len(sys.argv) < 4:
     raise SystemExit(__doc__)
@@ -67,7 +71,7 @@ def run(fn, value):
 queries = {
     n: f
     for n, f in catalog.QUERIES.items()
-    if not ONLY or any(s in n for s in ONLY.split(","))
+    if not ONLY or any(s in n for s in ONLY)
 }
 print(f"axis: {KEY} = {VAL_A} vs {VAL_B} @ {SF} ({len(queries)} queries)",
       flush=True)

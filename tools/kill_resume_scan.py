@@ -40,30 +40,17 @@ os.environ["PYTHONPATH"] = REPO
 N_FILES = 4
 
 
-def order_ranged_mtimes(ranged_dir: str) -> None:
-    """Force the file-stream replay order to equal the ts-range order.
-
-    FileStreamSource processes files in MODIFICATION-TIME order, and a
-    parallel `repartitionByRange(...).write` stamps each part file with
-    its task's completion time — so the replay order is task-completion
-    order, which is nondeterministic and usually NOT range order. The
-    round-8 watch postmortem (BASELINE.md) traced both the round-7
-    "impossible session" suite failure and this round's random-kill
-    mismatches to exactly that: the fixture replayed e.g. quartiles
-    (3,4,1,2), the watermark then silently dropped whole early files in
-    BOTH the reference and the resumed run (so 199 reproductions looked
-    "clean" while ~25-50% of events never reached the operator), and a
-    kill+resume occasionally repacked the catch-up batch so one run
-    admitted a file the other dropped. Stamping part-0000k with
-    ascending mtimes (range partition k holds the k-th ts range) makes
-    the replay genuinely in-order, which is the scenario this harness
-    is specifying."""
-    import glob as _glob
-
-    parts = sorted(_glob.glob(os.path.join(ranged_dir, "part-*.parquet")))
-    base = time.time() - 10 * len(parts)
-    for k, p in enumerate(parts):
-        os.utime(p, (base + 10 * k, base + 10 * k))
+# Fixture ordering + absolute-gate helpers live in the library so the
+# pytest suite can import them without this module's sys.path/PYTHONPATH
+# side effects (round-8 review). History: the round-8 watch postmortem
+# (BASELINE.md) traced the round-7 "impossible session" failure to the
+# unordered fixture — see simplemapreduce_spark/streaming/replay.py.
+from simplemapreduce_spark.streaming.replay import (  # noqa: E402
+    duplicate_keys,
+    islands_expectation,
+    order_ranged_mtimes,
+    session_keys,
+)
 
 
 def _postmortem(spark, out, ckpt, q1, q2, ref, got) -> None:
@@ -114,17 +101,21 @@ def _postmortem(spark, out, ckpt, q1, q2, ref, got) -> None:
             entries.append(f"{os.path.basename(f)}: {body[:500]!r}")
         _head(f"ckpt/{sub}", entries)
     meta_files = []
+    committed_raw = ""
     for f in sorted(_glob.glob(os.path.join(out, "_spark_metadata", "*"))):
         if os.path.basename(f).startswith("."):
             continue
-        meta_files.append(f"{os.path.basename(f)}: {open(f).read()[:800]!r}")
+        body = open(f).read()
+        committed_raw += body  # FULL body for orphan matching —
+        # truncating here falsely flagged committed files past the
+        # display cut as orphans (round-8 review)
+        meta_files.append(f"{os.path.basename(f)}: {body[:800]!r}")
     _head("sink _spark_metadata", meta_files)
     disk = sorted(
         os.path.relpath(p, out)
         for p in _glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
     )
     _head("parquet files on disk", disk, n=60)
-    committed_raw = " ".join(m for m in meta_files)
     orphans = [p for p in disk if os.path.basename(p) not in committed_raw]
     _head("ORPHAN parquet files (on disk, not in sink metadata)", orphans)
     n_ref = sum(r[3] for r in ref)
@@ -174,13 +165,20 @@ def disorder_sweep(spark, ev, schema, ranged, base, args) -> int:
     from simplemapreduce_spark.streaming.stateful import sessionize_stateful_stream
 
     gap = SESSION_GAP_MICROS
+    # truth: per-user timestamp set for endpoint-realness, plus a true
+    # EVENT count per user — n_events counts every event, so the
+    # conservation bound must count duplicate timestamps too (a set
+    # would under-count and flag a correct run as "duplicated" on any
+    # fixture with repeated (user, ts) pairs — round-8 review).
     truth: dict[int, set[int]] = {}
+    truth_n: dict[int, int] = {}
     for r in ev.select(
         F.col("user_id").alias("u"),
         F.unix_micros(ntz_as_event_time("ts")).alias("us"),
     ).collect():
         truth.setdefault(r.u, set()).add(r.us)
-    n_events_total = sum(len(v) for v in truth.values())
+        truth_n[r.u] = truth_n.get(r.u, 0) + 1
+    n_events_total = sum(truth_n.values())
 
     parts = sorted(_glob.glob(os.path.join(ranged, "part-*.parquet")))
     rng = _random.Random(args.seed)
@@ -230,8 +228,8 @@ def disorder_sweep(spark, ev, schema, ranged, base, args) -> int:
             if s not in truth.get(u, ()) or l not in truth.get(u, ()):
                 bad.append(f"phantom endpoint ({u},{s},{l},{n})")
         for u, tot in per_user_n.items():
-            if tot > len(truth[u]):
-                bad.append(f"user {u} duplicated: emitted {tot} > {len(truth[u])}")
+            if tot > truth_n.get(u, 0):
+                bad.append(f"user {u} duplicated: emitted {tot} > {truth_n.get(u, 0)}")
         if bad:
             fails += 1
             print(f"order={order} VIOLATIONS ({len(bad)}):")
@@ -325,25 +323,14 @@ def main() -> int:
     # ref-vs-resumed comparison alone is blind to a whole file being
     # watermark-dropped in BOTH runs, which is precisely what the
     # unordered fixture did for two rounds.
-    from pyspark.sql import functions as F
-
     from simplemapreduce_spark.functions.time import SESSION_GAP_MICROS
-    from simplemapreduce_spark.streaming.stateful import sessionize_islands
 
-    events = [
-        (r.u, r.us)
-        for r in ev.select(
-            F.col("user_id").alias("u"),
-            F.unix_micros(ntz_as_event_time("ts")).alias("us"),
-        ).collect()
-    ]
-    non_final, final = sessionize_islands(events, SESSION_GAP_MICROS)
-    finals = set(final.values())
-
-    def keys(rowset):
-        return {(u, s, l, n) for u, s, l, n, _ in rowset}
-
+    non_final, finals = islands_expectation(ev, SESSION_GAP_MICROS)
+    keys = session_keys
     ref_keys = keys(ref)
+    if duplicate_keys(ref):
+        print(f"REF DOUBLE-EMITS sessions: {sorted(duplicate_keys(ref))[:8]}")
+        return 2
     dropped = non_final - ref_keys
     invented = ref_keys - non_final - finals
     if dropped or invented:
@@ -393,15 +380,23 @@ def main() -> int:
             print(f"run={i} closed_by flips (gap<->timeout): {flips}")
         missing_nf = non_final - got_keys
         invented_g = got_keys - non_final - finals
-        if missing_nf or invented_g:
+        # Within-run key uniqueness (round-8 review): a resume that
+        # lost the 'already closed' fact re-emits the same session
+        # under the other closed_by label — two rows, one key, which
+        # the key-set compare alone cannot see.
+        dup_g = duplicate_keys(got)
+        if missing_nf or invented_g or dup_g:
             fails += 1
             print(f"run={i} batches1={b1} MISMATCH "
                   f"invented={len(invented_g)} "
-                  f"missing_non_final={len(missing_nf)}")
+                  f"missing_non_final={len(missing_nf)} "
+                  f"double_emitted={len(dup_g)}")
             for r in sorted(invented_g)[:6]:
                 print("  +", r)
             for r in sorted(missing_nf)[:6]:
                 print("  -", r)
+            for r in sorted(dup_g)[:6]:
+                print("  2x", r)
             _postmortem(spark, out, ckpt, q1, q2, ref, got)
             keep = os.path.join(
                 tempfile.gettempdir(), f"kr_forensics_run{i}_{os.getpid()}"
