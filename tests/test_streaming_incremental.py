@@ -286,10 +286,13 @@ def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
         )
 
     def rows(out):
-        return {
+        # A LIST, not a set: a same-label double emission must stay
+        # visible to duplicate_keys (a set collapses the two identical
+        # rows before the gate can look — round-8 review).
+        return [
             (r.user_id, r.start_us, r.last_us, r.n_events, r.closed_by)
             for r in spark.read.parquet(out).collect()
-        }
+        ]
 
     # Uninterrupted reference over the SAME source and batching (same
     # per-batch watermark progression, hence identical late-drop and
@@ -385,10 +388,10 @@ def test_sessionize_checkpoint_kill_and_resume(spark, sf_dir, tmp_path):
             f"run2 progress: {_prog(q2)}",
             f"ckpt offsets/commits: {_ls(os.path.join(ckpt, 'offsets'))} "
             f"{_ls(os.path.join(ckpt, 'commits'))}",
-            f"extra in resumed output ({len(got - ref)}):",
-            *(f"  + {r}" for r in sorted(got - ref)),
-            f"missing from resumed output ({len(ref - got)}):",
-            *(f"  - {r}" for r in sorted(ref - got)),
+            f"extra in resumed output ({len(set(got) - set(ref))}):",
+            *(f"  + {r}" for r in sorted(set(got) - set(ref))),
+            f"missing from resumed output ({len(set(ref) - set(got))}):",
+            *(f"  - {r}" for r in sorted(set(ref) - set(got))),
         ]
         raise AssertionError(
             "kill-and-resume output != uninterrupted reference\n"

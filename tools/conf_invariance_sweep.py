@@ -73,6 +73,11 @@ queries = {
     for n, f in catalog.QUERIES.items()
     if not ONLY or any(s in n for s in ONLY)
 }
+if ONLY and not queries:
+    raise SystemExit(
+        f"--only {','.join(ONLY)!r} matched zero catalog queries — an empty "
+        "sweep would report green over nothing (typo in the substring?)"
+    )
 print(f"axis: {KEY} = {VAL_A} vs {VAL_B} @ {SF} ({len(queries)} queries)",
       flush=True)
 bad = []

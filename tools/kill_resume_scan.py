@@ -16,10 +16,19 @@ table:
 
 Usage:
     cd /tmp && python /root/repo/tools/kill_resume_scan.py \
-        [--mode random|points] [--iters 20] [--seed 7] [sf_dir]
+        [--mode random|points|disorder] [--iters 20] [--seed 7] [sf_dir]
 
-Do NOT run concurrently with the pytest suite or another sweep.
-Exit code 0 iff every resumed output equals the reference.
+Do NOT run concurrently with the pytest suite or another sweep unless
+the run IS the deliberate concurrent-load condition (shared
+/tmp/smr_scratch staging and kill-timing sensitivity otherwise).
+
+Exit codes: 0 = every run passed the ABSOLUTE islands gate (all
+non-final islands exactly once, nothing invented, no within-run double
+emission; finals closed-or-withheld; closed_by flips reported, not
+asserted); 1 = at least one resumed run (or disorder ordering) failed
+its gate; 2 = the REFERENCE run itself diverged from the islands
+expectation (fixture/ordering problem, not a kill-resume regression —
+triage these differently).
 """
 
 from __future__ import annotations
@@ -130,7 +139,7 @@ def _postmortem(spark, out, ckpt, q1, q2, ref, got) -> None:
             for r in spark.read.parquet(os.path.join(out, "part-*")).collect()
         }
         print(f"  -- raw-glob read: {len(raw)} rows vs metadata-read {len(got)}; "
-              f"raw-extra-vs-ref={len(raw - ref)}")
+              f"raw-extra-vs-ref={len(raw - set(ref))}")
     except Exception as e:  # noqa: BLE001
         print(f"  -- raw-glob read failed: {e}")
 
@@ -299,10 +308,14 @@ def main() -> int:
         )
 
     def rows(out):
-        return {
+        # A LIST, not a set: a same-label double emission (the sink
+        # holding two identical rows) must stay visible to
+        # duplicate_keys — a set collapses it before the gate can look
+        # (round-8 high review).
+        return [
             (r.user_id, r.start_us, r.last_us, r.n_events, r.closed_by)
             for r in spark.read.parquet(out).collect()
-        }
+        ]
 
     ref_out = os.path.join(base, "out_ref")
     q = start(ref_out, os.path.join(base, "ckpt_ref"), availableNow=True)
@@ -375,7 +388,7 @@ def main() -> int:
         # timeouts never runs and the finals legitimately stay
         # withheld (observed at points k>=3; append-mode cannot
         # distinguish "due but never triggered" from "still open").
-        flips = len(got - ref) - len(got_keys - ref_keys)
+        flips = len(set(got) - set(ref)) - len(got_keys - ref_keys)
         if flips:
             print(f"run={i} closed_by flips (gap<->timeout): {flips}")
         missing_nf = non_final - got_keys
