@@ -56,60 +56,60 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # checked. At 50/round the never-checked queue clears in 3 rounds —
 # catalog frozen at 364 until then (VERDICT r6 #4).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- re-verify: latest driver status FAIL --
+    # -- never driver-checked (plans.relational_ext) --
+    "q_scalar_parse_url",
+    "q_scalar_try",
+    "q_sql_parameterized",
+    "q_sql_pipe_syntax",
+    "q_scalar_collation",
+    "q_join_lateral_topn",
+    "q_lateral_explode_outer",
+    "q_scalar_csv_roundtrip",
+    "q_scalar_map_hof",
+    "q_scalar_regexp",
+    "q_scalar_interval",
+    "q_scalar_binary_codec",
+    # -- never driver-checked (plans.llm_text) --
+    "q_text_perplexity_buckets",
+    "q_text_bpe_pairs",
+    "q_text_bm25",
+    "q_text_vocab_coverage",
+    "q_text_sentiment_lexicon",
+    "q_text_js_divergence",
+    "q_text_skipgram_pairs",
+    "q_text_pmi",
+    "q_text_ctfidf_class_terms",
+    "q_text_zipf_fit",
+    "q_text_feature_hashing",
+    "q_text_langid_confusion",
+    "q_sim_tfidf_lexical_topk",
+    "q_text_ngram_novelty",
+    "q_text_heaps_law",
+    # -- never driver-checked (plans.similarity) --
+    "q_sim_l2_nearest",
+    "q_sim_ivf_kmeans_topk",
+    "q_sim_matryoshka_eval",
+    "q_sim_pq_topk",
+    "q_embedding_centroids",
+    "q_embedding_nearest_centroid",
+    "q_dedup_semantic",
+    "q_sim_lsh_recall_eval",
+    "q_sim_hard_negatives",
+    "q_sim_range_search",
+    "q_sim_mmr_rerank",
+    "q_sim_ndcg_eval",
+    "q_sim_bucket_purity",
+    "q_sim_knn_classify",
+    "q_embedding_norm_audit",
+    "q_sim_rrf_fusion",
+    "q_embedding_drift",
+    # -- judge-prescribed re-check (VERDICT r8 fix classes) --
     "q_graph_label_propagation",
-    # -- never driver-checked (windows) --
-    "q_window_row_number",
-    "q_window_rank",
-    "q_window_ntile",
-    "q_window_first_last",
-    "q_window_cume_dist",
-    "q_window_nth_value",
-    "q_window_cumulative_distinct",
-    "q_window_moving_median",
-    "q_window_range_interval",
-    "q_window_rolling_corr",
-    "q_stream_tumbling",
-    "q_stream_global_agg",
-    "q_stream_chained_agg",
-    "q_stream_sliding",
-    "q_stream_session_window",
-    "q_stream_static_join",
-    "q_stream_stream_left_outer",
-    "q_stream_dedup_watermarked",
-    "q_source_python_stream",
-    "q_stream_stream_semi",
-    "q_stream_stream_full_outer",
-    # -- never driver-checked (timeseries) --
-    "q_ts_sliding",
-    "q_ts_sessionize_stats",
-    "q_ts_downsample",
-    "q_ts_percentiles",
-    "q_ts_interpolate",
-    "q_ts_trend_forecast",
-    "q_ts_ohlc",
-    "q_ts_asof_nearest",
-    "q_ts_rollup_distinct",
-    "q_ts_changepoint",
-    "q_join_interval_overlap",
-    "q_reaggregate_rollup",
-    "q_ts_gaps_islands",
-    "q_ts_interval_union",
-    "q_ts_autocorr",
+    "q_stream_sessionize_stateful",
     "q_ts_ewma",
-    "q_ts_asof_tolerance",
-    "q_ts_interarrival",
-    "q_ts_vwap",
-    "q_ts_drawdown",
-    # -- never driver-checked (relational_ext) --
-    "q_scalar_array",
-    "q_scalar_map",
-    "q_unpivot",
-    "q_window_range_frame",
-    "q_sql_api",
-    "q_agg_collect_sorted",
-    "q_agg_median_mode",
-    "q_scalar_variant",
+    "q_window_rolling_corr",
+    "q_drift_psi",
+    "q_histogram_equiwidth",
 )
 
 

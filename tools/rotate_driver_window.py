@@ -37,8 +37,23 @@ CATALOG_PATH = os.path.join(REPO, "simplemapreduce_spark", "catalog.py")
 # r7 "Next round" #3 pins window 8 as windows + timeseries + the first
 # relational_ext queries). Modules listed here come first, in this
 # order; remaining unchecked modules follow under the default
-# smallest-pocket-first policy. Cleared when empty.
-MODULE_PRIORITY: tuple[str, ...] = ("windows", "timeseries", "relational_ext")
+# smallest-pocket-first policy. Cleared when empty. Keys are the LAST
+# TWO dotted components of the defining module (e.g. "plans.windows",
+# "streaming.windows") — ADVICE r8 flagged that single-tail keys
+# conflate plans/windows with streaming/windows.
+MODULE_PRIORITY: tuple[str, ...] = ()
+
+# Judge-prescribed re-checks for the current window (VERDICT r8 "Next
+# round" #1: the r7/r8 fix classes). These slot in right after the
+# never-checked residue, before the generic freshness rotation.
+RECHECKS: tuple[str, ...] = (
+    "q_graph_label_propagation",
+    "q_stream_sessionize_stateful",
+    "q_ts_ewma",
+    "q_window_rolling_corr",
+    "q_drift_psi",
+    "q_histogram_equiwidth",
+)
 
 
 def build_window() -> list[tuple[str, str]]:
@@ -54,7 +69,8 @@ def build_window() -> list[tuple[str, str]]:
     unchecked_by_mod: dict[str, list[str]] = defaultdict(list)
     for n, fn in catalog.QUERIES.items():
         if n not in status:
-            unchecked_by_mod[fn.__module__.rsplit(".", 1)[-1]].append(n)
+            mod = ".".join(fn.__module__.rsplit(".", 2)[-2:])
+            unchecked_by_mod[mod].append(n)
     checked = sorted(
         (n for n in catalog.QUERIES if n in status and n not in fails),
         key=lambda n: status[n][0],  # oldest driver round first
@@ -69,8 +85,14 @@ def build_window() -> list[tuple[str, str]]:
     for mod in sorted(unchecked_by_mod, key=mod_key):
         for n in unchecked_by_mod[mod]:
             window.append((n, f"never driver-checked ({mod})"))
+    seen = {n for n, _ in window}
+    for n in RECHECKS:
+        if n in catalog.QUERIES and n not in seen:
+            window.append((n, "judge-prescribed re-check (VERDICT r8 fix classes)"))
+            seen.add(n)
     for n in checked:
-        window.append((n, f"freshness: last checked r{status[n][0]}"))
+        if n not in seen:
+            window.append((n, f"freshness: last checked r{status[n][0]}"))
     return window[:WINDOW]
 
 
