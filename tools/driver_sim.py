@@ -60,6 +60,13 @@ def main() -> int:
     ap.add_argument("--first", type=int, default=0, help="check only the first N registered")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--skip-smoke", action="store_true")
+    # Cluster-shape rehearsal (VERDICT r8 "Next round" #8): a real
+    # 100 TB cluster is many small executors + many shuffle partitions,
+    # the inverse of local[32]/32. --master local[4]
+    # --shuffle-partitions 200 reruns the whole contract in that shape
+    # against the same absolute DuckDB oracle.
+    ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--shuffle-partitions", default="8")
     args = ap.parse_args()
 
     os.environ.setdefault("PYTHONPATH", "/root/repo")
@@ -76,9 +83,9 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(args.master)
         .appName("driver-sim")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", args.shuffle_partitions)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
