@@ -184,6 +184,14 @@ def test_single_batch_with_prior_state_never_splits_within_gap_events(
         # unreachable in the current machine (late islands always end
         # strictly more than gap below cur's start when closed
         # separately), so assert the strict gap rule alone.
-        assert s2 - l1 > GAP, (
-            f"adjacent emitted sessions within gap: ({s1},{l1}) ({s2},{l2})"
+        # ADVICE r9 #4: distinguish the two failure modes — an
+        # overlap/nesting (s2 <= l1) violating the unreachable-overlap
+        # claim above vs. plain within-gap adjacency — so a future
+        # failure isn't misdiagnosed.
+        kind = (
+            "overlapping/nested emitted sessions (unreachable-overlap "
+            "claim violated)"
+            if s2 <= l1
+            else "adjacent emitted sessions within gap"
         )
+        assert s2 - l1 > GAP, f"{kind}: ({s1},{l1}) ({s2},{l2})"

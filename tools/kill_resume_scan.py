@@ -111,6 +111,7 @@ def _postmortem(spark, out, ckpt, q1, q2, ref, got) -> None:
         _head(f"ckpt/{sub}", entries)
     meta_files = []
     committed_basenames = set()
+    tombstoned_basenames = set()
     for f in sorted(_glob.glob(os.path.join(out, "_spark_metadata", "*"))):
         if os.path.basename(f).startswith("."):
             continue
@@ -127,8 +128,16 @@ def _postmortem(spark, out, ckpt, q1, q2, ref, got) -> None:
                 entry = _json.loads(line)
             except ValueError:
                 continue
+            # ADVICE r9 #3: honor the action field — a 'delete'
+            # tombstone (compaction retention) must not mark an
+            # on-disk file as committed, or a real orphan would be
+            # hidden from the ORPHAN list below.
             if isinstance(entry, dict) and "path" in entry:
-                committed_basenames.add(os.path.basename(str(entry["path"])))
+                base = os.path.basename(str(entry["path"]))
+                if entry.get("action", "add") == "add":
+                    committed_basenames.add(base)
+                else:
+                    tombstoned_basenames.add(base)
         meta_files.append(f"{os.path.basename(f)}: {body[:800]!r}")
     _head("sink _spark_metadata", meta_files)
     disk = sorted(
@@ -138,6 +147,11 @@ def _postmortem(spark, out, ckpt, q1, q2, ref, got) -> None:
     _head("parquet files on disk", disk, n=60)
     orphans = [p for p in disk if os.path.basename(p) not in committed_basenames]
     _head("ORPHAN parquet files (on disk, not in sink metadata)", orphans)
+    if tombstoned_basenames:
+        _head(
+            "tombstoned (action=delete) basenames in sink metadata",
+            sorted(tombstoned_basenames),
+        )
     n_ref = sum(r[3] for r in ref)
     n_got = sum(r[3] for r in got)
     print(f"  -- event-count conservation: sum(n_events) ref={n_ref} got={n_got} "

@@ -43,17 +43,12 @@ CATALOG_PATH = os.path.join(REPO, "simplemapreduce_spark", "catalog.py")
 # conflate plans/windows with streaming/windows.
 MODULE_PRIORITY: tuple[str, ...] = ()
 
-# Judge-prescribed re-checks for the current window (VERDICT r8 "Next
-# round" #1: the r7/r8 fix classes). These slot in right after the
-# never-checked residue, before the generic freshness rotation.
-RECHECKS: tuple[str, ...] = (
-    "q_graph_label_propagation",
-    "q_stream_sessionize_stateful",
-    "q_ts_ewma",
-    "q_window_rolling_corr",
-    "q_drift_psi",
-    "q_histogram_equiwidth",
-)
+# Judge-prescribed re-checks for the current window. These slot in
+# right after the never-checked residue, before the generic freshness
+# rotation. Empty for window 10: the ledger closed at r9 (364/364, 0
+# fails) and VERDICT r9 "Next round" #1 prescribes pure oldest-first
+# freshness with RECHECKS cleared.
+RECHECKS: tuple[str, ...] = ()
 
 
 def build_window() -> list[tuple[str, str]]:
@@ -93,11 +88,48 @@ def build_window() -> list[tuple[str, str]]:
     for n in checked:
         if n not in seen:
             window.append((n, f"freshness: last checked r{status[n][0]}"))
+    # ADVICE r9 #1: RECHECKS are appended after the never-checked
+    # residue; if the pre-truncation window overflows WINDOW, a
+    # judge-prescribed re-check could silently fall off the end.
+    # Error loudly instead of dropping it.
+    if len(window) > WINDOW:
+        head = {n for n, _ in window[:WINDOW]}
+        dropped = [n for n in RECHECKS if n in catalog.QUERIES and n not in head]
+        if dropped:
+            raise RuntimeError(
+                f"window overflow ({len(window)} > {WINDOW}) would drop "
+                f"judge-prescribed RECHECKS {dropped}; shrink MODULE_PRIORITY "
+                "or raise WINDOW"
+            )
+        print(
+            f"note: {len(window) - WINDOW} freshness candidates beyond the "
+            f"{WINDOW}-slot window (no RECHECKS dropped)",
+            file=sys.stderr,
+        )
     return window[:WINDOW]
 
 
 def render(window: list[tuple[str, str]]) -> str:
-    lines = ["DRIVER_PRIORITY: tuple[str, ...] = ("]
+    # ADVICE r9 #2: the hand-written policy comment above DRIVER_PRIORITY
+    # went stale across rounds; regenerate it here so --write keeps the
+    # annotation in sync with the tuple it annotates.
+    from simplemapreduce_spark import catalog
+    from tools.gen_driver_coverage import latest_driver_status
+
+    status = latest_driver_status()
+    latest_round = max((r for r, _ in status.values()), default=0)
+    n_reasons = defaultdict(int)
+    for _, reason in window:
+        n_reasons[reason.split(":")[0].split(" (")[0]] += 1
+    mix = ", ".join(f"{v} {k}" for k, v in n_reasons.items())
+    lines = [
+        "# The grading driver verifies the FIRST ~50 registered queries.",
+        "# GENERATED by tools/rotate_driver_window.py --write; do not edit",
+        f"# by hand. Window composed after round {latest_round} "
+        f"({len(status)}/{len(catalog.QUERIES)} driver-checked): {mix}.",
+        "# Full manifest + per-query verdict history: DRIVER_COVERAGE.md.",
+        "DRIVER_PRIORITY: tuple[str, ...] = (",
+    ]
     last_reason = None
     for name, reason in window:
         if reason != last_reason:
@@ -113,12 +145,15 @@ def main() -> None:
     block = render(window)
     if "--write" in sys.argv:
         src = open(CATALOG_PATH).read()
+        # Consume the contiguous comment block directly above the tuple
+        # too, so the annotation is regenerated together with the window
+        # (ADVICE r9 #2 — the hand-written comment had gone stale).
         new, n = re.subn(
-            r"DRIVER_PRIORITY: tuple\[str, \.\.\.\] = \(.*?\n\)",
+            r"(?:^#[^\n]*\n)*DRIVER_PRIORITY: tuple\[str, \.\.\.\] = \(.*?\n\)",
             block,
             src,
             count=1,
-            flags=re.S,
+            flags=re.S | re.M,
         )
         if n != 1:
             raise RuntimeError("DRIVER_PRIORITY block not found in catalog.py")
