@@ -67,6 +67,20 @@ def main() -> int:
     # against the same absolute DuckDB oracle.
     ap.add_argument("--master", default="local[8]")
     ap.add_argument("--shuffle-partitions", default="8")
+    # Extra session confs (repeatable, k=v). Needed for STATIC
+    # SparkContext-level knobs that spark.conf.set cannot flip
+    # mid-session — e.g. the speculative-execution axis (VERDICT r9
+    # "Next round" #4): spark.speculation=true with an aggressive
+    # quantile/multiplier races duplicate task attempts to commit,
+    # the Spark analogue of the reference's at-least-once retry loop
+    # (common_rpc.go:114-129).
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra SparkSession conf, repeatable",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("PYTHONPATH", "/root/repo")
@@ -82,22 +96,30 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(args.master)
         .appName("driver-sim")
         .config("spark.sql.shuffle.partitions", args.shuffle_partitions)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        if not _:
+            raise SystemExit(f"--conf expects K=V, got {kv!r}")
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
 
     import duckdb
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
-        )
+        # Driver fixtures are single files; replica builders (e.g.
+        # tools/scale_probe.py's 10x corpus) write Spark-style
+        # directories — glob inside those so DuckDB reads all parts.
+        p = f"{args.sf}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     failures: list[str] = []
 
