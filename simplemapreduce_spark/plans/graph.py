@@ -554,8 +554,13 @@ _KCORE_ROUNDS = 3
 
 
 def _kcore_oracle() -> str:
+    # e and every alive{r} are MATERIALIZED: each deg{r} references e
+    # twice and alive{r} twice, so DuckDB's default CTE inlining
+    # re-expands the expensive order-pair edge join 2^rounds times —
+    # at the 10x replica scale that plan blew a 24 GB no-spill cap in
+    # 25 s (round-10 ~sf1 oracle screen). Fences only; same results.
     rounds = [
-        """alive0 AS (
+        """alive0 AS MATERIALIZED (
       SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e)"""
     ]
     for r in range(_KCORE_ROUNDS):
@@ -567,12 +572,12 @@ def _kcore_oracle() -> str:
       JOIN alive{r} x ON x.node = a.node
       JOIN alive{r} y ON y.node = a.nbr
       GROUP BY 1
-    ), alive{r + 1} AS (
+    ), alive{r + 1} AS MATERIALIZED (
       SELECT node FROM deg{r} WHERE d >= {_KCORE_K})"""
         )
     return f"""
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    e AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM op a JOIN op b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -737,16 +742,22 @@ _LPA_ROUNDS = 3
 
 
 def _lpa_oracle() -> str:
+    # e/adj/lab{r} are MATERIALIZED for the same reason as the kcore
+    # oracle above: adj references e twice, each round references the
+    # previous label table, and every report line references its lab{r}
+    # twice — default CTE inlining re-expands the edge join
+    # exponentially in rounds (24 GB no-spill cap blown at the 10x
+    # replica scale). Fences only; same results.
     parts = [
         """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    e AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM op a JOIN op b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
       HAVING COUNT(*) >= 2
-    ), adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
-    lab0 AS (SELECT DISTINCT node, node AS label FROM adj)"""
+    ), adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+    lab0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj)"""
     ]
     for r in range(1, _LPA_ROUNDS + 1):
         parts.append(
@@ -754,7 +765,7 @@ def _lpa_oracle() -> str:
       SELECT a.node, l.label, COUNT(*) AS c
       FROM adj a JOIN lab{r - 1} l ON l.node = a.nbr
       GROUP BY 1, 2
-    ), lab{r} AS (
+    ), lab{r} AS MATERIALIZED (
       SELECT node, label FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY node
                                      ORDER BY c DESC, label) AS rk
