@@ -22,7 +22,11 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from simplemapreduce_spark.catalog import query
-from simplemapreduce_spark.streaming.windows import run_stream_to_table, stream_events
+from simplemapreduce_spark.streaming.windows import (
+    run_stream_to_table,
+    stream_events,
+    stream_state_partitions,
+)
 
 _COUNT_OUT = T.StructType(
     [
@@ -78,7 +82,7 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             update, _COUNT_OUT, _COUNT_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )
-    out = run_stream_to_table(updates, "append")
+    out = run_stream_to_table(updates, "append", state_partitions=stream_state_partitions(spark, sf_dir))
     # Keep the final (cumulative) emission per user: the one with max n.
     from pyspark.sql import Window as W
 
@@ -177,7 +181,7 @@ def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        out = run_stream_to_table(updates, "append")
+        out = run_stream_to_table(updates, "append", state_partitions=stream_state_partitions(spark, sf_dir))
     finally:
         if prev_provider is None:
             spark.conf.unset(provider_key)
@@ -275,7 +279,7 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_shipped(spark)
     sess = sessionize_stateful_stream(stream_events(spark, sf_dir))
-    out = run_stream_to_table(sess, "append")
+    out = run_stream_to_table(sess, "append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         "user_id",
         micros_to_ntz(F.col("start_us")).alias("session_start"),

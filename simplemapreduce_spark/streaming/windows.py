@@ -96,18 +96,69 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", ntz_as_event_time("ts"))
 
 
-def run_stream_to_table(df: DataFrame, output_mode: str) -> DataFrame:
+def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive state/shuffle partition count for a finite
+    availableNow drain (round 10, guide §2.2/§2.4 applied to the one
+    exchange AQE cannot touch): Spark disables AQE for stateful
+    streaming, so the stream's shuffle — and with it the number of
+    state stores created, checkpointed and committed per micro-batch —
+    is pinned to the static ``spark.sql.shuffle.partitions``, which is
+    sized for batch parallelism. On the bench fixture that meant 32
+    HDFS-backed state stores per batch over ~2 MB of input, pure
+    fixed cost (measured: the tumbling drain's steady state drops
+    ~30% when the state shuffle matches the input size). Derive the
+    count from the source size exactly the way AQE's partition
+    coalescing would — one partition per ~512 KB of source, clamped
+    to [2, defaultParallelism] — so a production-sized replay still
+    fans out to full parallelism while a small one stops paying for
+    empty state stores. Result-invariant by construction (the
+    shuffle-partition invariance axis re-proved all 364 queries at
+    sf0.1 under a different partition count, BASELINE.md)."""
+    from simplemapreduce_spark.sources.tables import table_path
+
+    try:
+        size = os.path.getsize(table_path(sf_dir, "events"))
+    except OSError:
+        total = 0
+        events_dir = table_path(sf_dir, "events")
+        if os.path.isdir(events_dir):
+            for root, _dirs, files in os.walk(events_dir):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        size = total
+    target = -(-size // (512 * 1024)) if size else 2
+    return max(2, min(int(target), spark.sparkContext.defaultParallelism))
+
+
+def run_stream_to_table(
+    df: DataFrame, output_mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Execute a (finite) streaming DataFrame to completion into a
-    memory sink; return the materialized result as a batch DataFrame."""
+    memory sink; return the materialized result as a batch DataFrame.
+
+    ``state_partitions`` (see :func:`stream_state_partitions`) sets the
+    stream's shuffle/state partition count for THIS query only: the
+    session conf is modified before ``start()`` and restored right
+    after — safe because StreamExecution clones the session (and its
+    conf) synchronously inside ``start()``, verified empirically (a
+    drain started at 4 with the conf restored to 32 immediately after
+    start() wrote a 4-partition state store)."""
     spark = df.sparkSession
     name = f"smr_stream_{int(time.monotonic_ns())}"
-    q = (
+    writer = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if state_partitions is None:
+        q = writer.start()
+    else:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = writer.start()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         # availableNow terminates once drained; a False return means the
         # drain timed out and the table is PARTIAL — fail loudly rather
@@ -141,7 +192,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
-    out = run_stream_to_table(agg, "complete")
+    out = run_stream_to_table(agg, "complete", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         event_time_to_ntz(F.col("w.start")).alias("window_start"), "event_type", "n", "sum_value"
     )
@@ -173,7 +224,7 @@ def q_stream_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
-    out = run_stream_to_table(agg, "complete")
+    out = run_stream_to_table(agg, "complete", state_partitions=stream_state_partitions(spark, sf_dir))
     from simplemapreduce_spark.sources.tables import load_table
 
     exact = load_table(spark, sf_dir, "events").agg(
@@ -242,7 +293,7 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ten.groupBy(F.window(F.col("w"), "1 hour").alias("h"), "event_type").agg(
         F.max("n").alias("max_10min_n"), F.sum("n").alias("hour_n")
     )
-    out = run_stream_to_table(hourly, "append")
+    out = run_stream_to_table(hourly, "append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         "event_type",
         event_time_to_ntz(F.col("h.start")).alias("hour_start"),
@@ -272,7 +323,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
         .agg(F.count("*").alias("n"))
     )
-    out = run_stream_to_table(agg, "complete")
+    out = run_stream_to_table(agg, "complete", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(event_time_to_ntz(F.col("w.start")).alias("window_start"), "n")
 
 
@@ -311,7 +362,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
-    out = run_stream_to_table(agg, "complete")
+    out = run_stream_to_table(agg, "complete", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         "user_id",
         event_time_to_ntz(F.col("w.start")).alias("session_start"),
@@ -352,7 +403,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_rank", "event_type")
         .agg(F.count("*").alias("n"))
     )
-    return run_stream_to_table(agg, "complete")
+    return run_stream_to_table(agg, "complete", state_partitions=stream_state_partitions(spark, sf_dir))
 
 
 @query(
@@ -399,7 +450,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     )
-    out = run_stream_to_table(joined, "append")
+    out = run_stream_to_table(joined, "append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         F.col("c_user").alias("user_id"),
         "click_id",
@@ -485,7 +536,7 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
         "left_outer",
     )
-    out = run_stream_to_table(joined, "append")
+    out = run_stream_to_table(joined, "append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         F.col("c_user").alias("user_id"),
         "click_id",
@@ -516,7 +567,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    out = run_stream_to_table(deduped, "append")
+    out = run_stream_to_table(deduped, "append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.groupBy("event_type").agg(
         F.count("user_id").alias("n_distinct_users")
     )
@@ -674,7 +725,7 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
     )
-    out = run_stream_to_table(agg, "append")
+    out = run_stream_to_table(agg, "append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         event_time_to_ntz(F.col("w.start")).alias("window_start"), "event_type", "n"
     )
@@ -732,7 +783,7 @@ def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
     )
-    out = run_stream_to_table(agg, "update")
+    out = run_stream_to_table(agg, "update", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         event_time_to_ntz(F.col("w.start")).alias("window_start"), "event_type", "n"
     )
@@ -763,7 +814,7 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "ts")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
-    out = run_stream_to_table(deduped, "append")
+    out = run_stream_to_table(deduped, "append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.groupBy("event_type").agg(
         F.count("user_id").alias("n_distinct_users")
     )
@@ -886,7 +937,7 @@ def q_stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
         "left_semi",
     )
-    out = run_stream_to_table(joined, "append")
+    out = run_stream_to_table(joined, "append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         F.col("c_user").alias("user_id"),
         "click_id",
@@ -985,7 +1036,7 @@ def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
         "full_outer",
     )
-    out = run_stream_to_table(joined, "append")
+    out = run_stream_to_table(joined, "append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         "click_id",
