@@ -569,6 +569,17 @@ def q_multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"substring(payload, CAST(i * {_BLOCK_SZ} + 1 AS INT), {_BLOCK_SZ})")
         ).alias("chk"),
     )
+    # ONE blocking/hash pass (round 10, guide §2.4): the block table
+    # feeds both the frequency aggregate and the join probe; without a
+    # shared exchange Spark re-ran the explode+substring+md5 pass per
+    # branch (payload-proportional — the dominant cost at scale, 2x).
+    # An explicit repartition on the checksum key gives both branches
+    # the IDENTICAL shuffle subtree, which AQE deduplicates at runtime
+    # (final plan: the frequency branch reads a ReusedExchange of the
+    # probe branch's chk shuffle — plans/r10/..._after.txt). Measured
+    # steady state 1.04s -> 0.68s at sf0.1; only the 16-byte checksum
+    # + media_id ride the shuffle, as before.
+    blocks = blocks.repartition("chk")
     dfreq = blocks.groupBy("chk").agg(F.count_distinct("media_id").alias("nm"))
     shared = (F.col("nm") >= 2).cast("int")
     return (
