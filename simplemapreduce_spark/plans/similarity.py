@@ -2220,7 +2220,16 @@ def q_sim_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("y"), F.col("e").alias("be"), "bkt")
     )
     ci = F.round(cosine_similarity(F.col("ae"), F.col("be")) * 10000, 0).cast("long")
-    pairs = a.join(bc, "bkt").select("x", "y", ci.alias("ci"))
+    # The scored pair table feeds THREE consumers (both neighborhood
+    # aggregates + the final margin join); as independent subtrees each
+    # re-ran the bucket join and the 100-dim cosine per pair (3x the
+    # dominant scoring cost — round 10, guide §2.4). An explicit
+    # repartition on x pins ONE evaluation behind a shuffle of the
+    # narrow (x, y, ci) rows: the x-window/aggregate and the margin
+    # join consume it partition-local, and the y-side neighborhood
+    # re-keys the already-scored rows (second narrow shuffle), which
+    # AQE dedupes against the same exchange. Cosines now compute once.
+    pairs = a.join(bc, "bkt").select("x", "y", ci.alias("ci")).repartition("x")
     wx = W.partitionBy("x").orderBy(F.desc("ci"), "y")
     nx = (
         pairs.withColumn("rk", F.row_number().over(wx))
@@ -2230,7 +2239,8 @@ def q_sim_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wy = W.partitionBy("y").orderBy(F.desc("ci"), "x")
     ny = (
-        pairs.withColumn("rk", F.row_number().over(wy))
+        pairs.repartition("y")
+        .withColumn("rk", F.row_number().over(wy))
         .filter(F.col("rk") <= MINE_K)
         .groupBy("y")
         .agg(F.sum("ci").alias("sy"), F.count("*").alias("ky"))
