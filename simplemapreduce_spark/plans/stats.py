@@ -1541,13 +1541,23 @@ def q_bootstrap_poisson_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the scan. Everything downstream of the B-row table is
     driver-trivial."""
     li = load_table(spark, sf_dir, "lineitem")
-    r = li.select(
+    from simplemapreduce_spark.sources.tables import ensure_parallelism
+
+    # CPU-bound map-side pipeline (B/4 md5 digests + B-way explode +
+    # per-copy CASE per source row) — exactly the shape the
+    # ensure_parallelism guard exists for (round 10: the single-row-
+    # group fixture pinned the whole expansion to ONE scan task,
+    # measured 10.5 s steady; production layouts make this a no-op).
+    # Both consumers (the resample expansion and the full-data moment
+    # branch) hang off the same repartition exchange, so the source
+    # projection also computes once at runtime.
+    r = ensure_parallelism(li.select(
         "l_orderkey",
         "l_linenumber",
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
         .cast("long")
         .alias("cents"),
-    )
+    ))
     # One md5 yields FOUR independent 32-bit words, so the B={B}
     # multiplicities cost B/4 digests per row, not B; the digest array
     # is projected ONCE per source row (before the explode) and the
