@@ -136,7 +136,16 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard exact formulation; a 100 TB profile swaps in
     approx_count_distinct per column (one pass, no Expand) and keeps
     everything else identical."""
-    o = _corrupt_base(load_table(spark, sf_dir, "orders"))
+    # The exact multi-count_distinct rewrite multiplies partial-agg
+    # rows by the column count (Expand), and on the single-row-group
+    # fixture that whole expansion ran on ONE scan task (round 10;
+    # measured 3.2 s -> 2.1 s with the guard; production layouts make
+    # it a no-op). Applied HERE and not in q_approx_count_distinct:
+    # the HLL/exact-distinct pass over dimension-bounded keys
+    # collapses map-side and measured 2.5x WORSE behind a repartition.
+    from simplemapreduce_spark.sources.tables import ensure_parallelism
+
+    o = _corrupt_base(ensure_parallelism(load_table(spark, sf_dir, "orders")))
     aggs: list[Column] = []
     for c in _PROFILE_RENDER:
         aggs += [

@@ -1078,7 +1078,20 @@ def q_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def r2(col: str):
         rk = F.rank().over(W.partitionBy("l_returnflag").orderBy(col))
-        ties = F.count("*").over(W.partitionBy("l_returnflag", col))
+        # Tie count = peer count of the rank window's OWN sort (RANGE
+        # frame pinned to the current row spans exactly the order-value
+        # peers) — identical semantics to a count over
+        # (l_returnflag, col), but it reuses the rank window's exchange
+        # and sort instead of adding one exchange per panel column
+        # (round 10, guide §2.4: 4 Exchanges -> 1 on this plan).
+        ties = (
+            F.count("*")
+            .over(
+                W.partitionBy("l_returnflag")
+                .orderBy(col)
+                .rangeBetween(W.currentRow, W.currentRow)
+            )
+        )
         return (2 * rk + ties - 1).cast("decimal(28,0)")
 
     r = base.select(
@@ -1281,14 +1294,21 @@ def q_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two hash aggs on the same group key (totals, then
     moments of the scaled loo values) with a broadcast-sized totals
     join between them; no window, no sort, state O(groups)."""
+    from simplemapreduce_spark.sources.tables import ensure_parallelism
+
     li = load_table(spark, sf_dir, "lineitem")
-    rows_ = li.select(
+    # The leave-one-out branch runs 600k decimal(38,0) products in its
+    # map-side partial agg, which the single-row-group fixture pinned
+    # to ONE scan task; the guard fans it out (production no-op), and
+    # both consumers (totals + loo moments) share the repartition
+    # exchange so the projection also computes once (round 10).
+    rows_ = ensure_parallelism(li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
         .cast("long")
         .alias("r_cents"),
         F.col("l_quantity").cast("long").alias("q"),
-    )
+    ))
     dec = lambda c: F.col(c).cast("decimal(38,0)")
     tot = rows_.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
