@@ -295,6 +295,11 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The token explosion feeds both the exact-count branch and the
     # sketch build — persist it once (fixture-stamped) instead of
     # scanning + exploding the corpus twice per invocation.
+    # ensure_parallelism BEFORE the persist (round 10): the cached
+    # relation inherits the scan's partitioning, so without the guard
+    # the persisted token table was ONE partition and the D-hash md5
+    # pass over it ran on one task (measured 1.4 s -> ~0.6 s).
+    d = ensure_parallelism(d)
     toks = memo_persist(
         d.select(F.explode(tokens("text")).alias("token")),
         f"extensions.cms_toks:{sf_dir}",

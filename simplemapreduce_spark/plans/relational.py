@@ -276,12 +276,23 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_tables(spark, sf_dir, ("lineitem",))
+    # Pruned + parallelized source view (round 10): GROUPING SETS plans
+    # an Expand (one copy of every row per grouping set) inside the
+    # map-side partial aggregate, which the single-row-group fixture
+    # pinned to ONE scan task; the guard fans the 3x expansion out
+    # (measured ~1.35 s -> ~1.0 s, no-op on production layouts).
+    from simplemapreduce_spark.sources.tables import ensure_parallelism
+
+    ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_extendedprice"
+        )
+    ).createOrReplaceTempView("smr_lineitem_gsets")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        FROM lineitem
+        FROM smr_lineitem_gsets
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )

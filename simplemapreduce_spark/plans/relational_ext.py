@@ -531,7 +531,15 @@ def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     (division by zero nulls on both engines under this rewrite).
     Priority '1-URGENT' exercises the divide-by-zero arm (1-1=0), the
     full string exercises failed int/timestamp casts."""
-    o = load_table(spark, sf_dir, "orders")
+    from simplemapreduce_spark.sources.tables import ensure_parallelism
+
+    # try_to_timestamp over a non-timestamp string walks the full
+    # parse-failure path PER ROW — CPU-bound scalar work the
+    # single-row-group fixture pinned to one scan task (round 10;
+    # measured 1.35 s -> 0.43 s with the guard, production no-op).
+    o = ensure_parallelism(
+        load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    )
     prio_num = F.substring("o_orderpriority", 1, 1).try_cast("int")
     t = o.select(
         "o_orderpriority",
