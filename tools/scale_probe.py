@@ -93,6 +93,16 @@ PROBE = [
     # quadratic in GROUPS, constant in rows), and the Poisson
     # bootstrap (B/4 digests per row, B-row agg state).
     "q_sim_margin_mining",
+    # Round-10 optimization-round additions: every operator whose plan
+    # changed this round gets a probe slot so the exponent record
+    # covers the optimized shapes (cogroup bucket-grain, range-frame
+    # tie counts, parallelized expansions, adaptive stream drain).
+    "q_cogroup_reconcile",
+    "q_grouping_sets",
+    "q_jackknife_ratio_se",
+    "q_rank_corr_spearman",
+    "q_scalar_try",
+    "q_stream_tumbling",
     "q_text_phrase_search",
     "q_text_kneser_ney",
     "q_sim_recall_curve",
