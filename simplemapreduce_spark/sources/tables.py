@@ -70,6 +70,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def dataset_size_bytes(path: str) -> int:
+    """Total on-disk bytes of a file- OR directory-backed dataset
+    (0 if absent). A directory is walked and its files summed —
+    ``os.path.getsize`` on a directory returns the directory INODE
+    size (~4 KB) without raising, so a try/except-OSError fallback
+    around it is dead code and silently mis-sizes any multi-file
+    production layout (ADVICE r10 #1: a partitioned events dataset
+    would have been clamped to 2 state partitions). Branch on the
+    layout explicitly instead."""
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def _parse_bytes(v: str) -> int:
     """Parse a Spark byte-size conf value ('134217728', '128MB', '1g')."""
     v = v.strip().lower()

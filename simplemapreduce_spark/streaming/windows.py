@@ -22,6 +22,7 @@ checkpointed, partitioned state.
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,19 +115,20 @@ def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     empty state stores. Result-invariant by construction (the
     shuffle-partition invariance axis re-proved all 364 queries at
     sf0.1 under a different partition count, BASELINE.md)."""
-    from simplemapreduce_spark.sources.tables import table_path
+    from simplemapreduce_spark.sources.tables import dataset_size_bytes, table_path
 
-    try:
-        size = os.path.getsize(table_path(sf_dir, "events"))
-    except OSError:
-        total = 0
-        events_dir = table_path(sf_dir, "events")
-        if os.path.isdir(events_dir):
-            for root, _dirs, files in os.walk(events_dir):
-                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-        size = total
+    # Layout-aware sizing (ADVICE r10 #1): ``os.path.getsize`` on a
+    # DIRECTORY returns the inode size (~4 KB) without raising, so the
+    # previous OSError-fallback walk was dead code and a directory-backed
+    # (multi-file production) events dataset would have been sized at
+    # ~4 KB and serialized onto 2 state stores — the opposite of the
+    # documented fan-out. dataset_size_bytes branches on isdir first.
+    size = dataset_size_bytes(table_path(sf_dir, "events"))
     target = -(-size // (512 * 1024)) if size else 2
     return max(2, min(int(target), spark.sparkContext.defaultParallelism))
+
+
+_STREAM_CONF_LOCK = threading.Lock()
 
 
 def run_stream_to_table(
@@ -139,9 +141,13 @@ def run_stream_to_table(
     stream's shuffle/state partition count for THIS query only: the
     session conf is modified before ``start()`` and restored right
     after — safe because StreamExecution clones the session (and its
-    conf) synchronously inside ``start()``, verified empirically (a
-    drain started at 4 with the conf restored to 32 immediately after
-    start() wrote a 4-partition state store)."""
+    conf) synchronously inside ``start()`` on Spark 4.x, verified
+    empirically (a drain started at 4 with the conf restored to 32
+    immediately after start() wrote a 4-partition state store; pinned
+    by tests/test_optimization_r10.py). The mutation is additionally
+    guarded by a process-wide lock (ADVICE r10 #3) so two drains
+    started from different driver threads cannot interleave their
+    set/restore pairs and leak the wrong count into the session."""
     spark = df.sparkSession
     name = f"smr_stream_{int(time.monotonic_ns())}"
     writer = (
@@ -153,12 +159,13 @@ def run_stream_to_table(
     if state_partitions is None:
         q = writer.start()
     else:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        try:
-            q = writer.start()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with _STREAM_CONF_LOCK:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+            try:
+                q = writer.start()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         # availableNow terminates once drained; a False return means the
         # drain timed out and the table is PARTIAL — fail loudly rather

@@ -98,6 +98,7 @@ PROBE = [
     # covers the optimized shapes (cogroup bucket-grain, range-frame
     # tie counts, parallelized expansions, adaptive stream drain).
     "q_cogroup_reconcile",
+    "q_sim_mmr_rerank",
     "q_grouping_sets",
     "q_jackknife_ratio_se",
     "q_rank_corr_spearman",
