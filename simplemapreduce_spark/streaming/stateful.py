@@ -77,6 +77,10 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     updates = (
         stream_events(spark, sf_dir)
+        # Only the key and the summed column cross the Python boundary
+        # (guide §4.1 — the opaque stateful operator otherwise ships
+        # every event column, props included, per micro-batch).
+        .select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             update, _COUNT_OUT, _COUNT_STATE, "append", GroupStateTimeout.NoTimeout
@@ -433,18 +437,25 @@ def sessionize_stateful_stream(events: DataFrame) -> DataFrame:
                 }
             )
             return
-        parts = [p for p in pdfs if len(p)]
-        if not parts:
-            return
         # Sort and extract on the precomputed ts_us LONG, never the
         # pandas timestamp: Arrow hands applyInPandasWithState the
         # event time rendered in the SESSION timezone as a naive
         # datetime64, so int64-ing it would shift every epoch by the
         # session offset on a non-UTC driver (caught by the round-6
-        # full-catalog TZ-invariance sweep).
-        df = pd.concat(parts).sort_values(["ts_us", "event_id"])
+        # full-catalog TZ-invariance sweep). numpy sort of the epoch
+        # longs only (round 11, guide §4.2): the state machine consumes
+        # the timestamp MULTISET — the order of equal timestamps cannot
+        # change which sessions form — so the former two-key pandas
+        # sort_values(ts_us, event_id) paid a per-key DataFrame sort
+        # for a tie-break the result provably ignores.
+        import numpy as np
+
+        arrs = [p["ts_us"].to_numpy() for p in pdfs if len(p)]
+        if not arrs:
+            return
+        ts_sorted = np.sort(np.concatenate(arrs) if len(arrs) > 1 else arrs[0])
         closed, cur = sessionize_advance(
-            list(state.get) if state.exists else None, df["ts_us"].tolist(), gap_us
+            list(state.get) if state.exists else None, ts_sorted.tolist(), gap_us
         )
         out = [(uid, s, l, n, "gap") for s, l, n in closed]
         # cur is non-None here (the empty-parts guard returned above and
@@ -481,6 +492,13 @@ def sessionize_stateful_stream(events: DataFrame) -> DataFrame:
         # time (unix_micros on LTZ is session-independent); the pandas
         # state fn reads ONLY this long column.
         .withColumn("ts_us", F.unix_micros("ts"))
+        # Project to the key + event-time + the one column the state
+        # function reads BEFORE the opaque stateful operator (guide
+        # §4.1: Spark cannot see which columns the Python function
+        # touches, so without this every event column — including the
+        # wide props payload — is scanned, shuffled, and Arrow-shipped
+        # per micro-batch for nothing).
+        .select("user_id", "ts", "ts_us")
         .groupBy("user_id")
         .applyInPandasWithState(
             update, _SESS_OUT, _SESS_STATE, "append", GroupStateTimeout.EventTimeTimeout

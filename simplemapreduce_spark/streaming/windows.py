@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import threading
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -131,6 +132,28 @@ def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
 _STREAM_CONF_LOCK = threading.Lock()
 
 
+@contextmanager
+def stream_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` = ``n`` to a streaming
+    ``start()`` call issued inside the block (None = leave untouched).
+    StreamExecution clones the session conf synchronously inside
+    start(), so restoring immediately after the block is safe; the
+    process-wide lock keeps concurrent drains from interleaving their
+    set/restore pairs (ADVICE r10 #3). Shared by run_stream_to_table
+    and the self-draining streaming queries that cannot use it
+    (processing-time-trigger sources)."""
+    if n is None:
+        yield
+        return
+    with _STREAM_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_stream_to_table(
     df: DataFrame, output_mode: str, state_partitions: int | None = None
 ) -> DataFrame:
@@ -156,16 +179,8 @@ def run_stream_to_table(
         .outputMode(output_mode)
         .trigger(availableNow=True)
     )
-    if state_partitions is None:
+    with stream_shuffle_partitions(spark, state_partitions):
         q = writer.start()
-    else:
-        with _STREAM_CONF_LOCK:
-            prev = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-            try:
-                q = writer.start()
-            finally:
-                spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         # availableNow terminates once drained; a False return means the
         # drain timed out and the table is PARTIAL — fail loudly rather
@@ -872,13 +887,28 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("i") * F.col("i")) % 97).cast("long").alias("sum_value"),
     )
     name = f"smr_pyds_stream_{int(_time.monotonic_ns())}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
+    # Size the stateful aggregate's shuffle/state stores to the source
+    # (round 11, same diagnosis as the drains' kept-#1 fix in r10: AQE
+    # is off for stateful streaming, so every micro-batch committed 32
+    # HDFS state stores over a 30-row batch — pure fixed cost, times
+    # ~5 micro-batches). One state partition per 50k source rows,
+    # floor 2: the 100-row counter gets 2; a production-sized stream
+    # fans out to full parallelism.
+    n_state = max(
+        2,
+        min(
+            -(-N_STREAM_TOTAL // 50_000),
+            spark.sparkContext.defaultParallelism,
+        ),
     )
+    with stream_shuffle_partitions(spark, n_state):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
     try:
         deadline = _time.monotonic() + 300
         while True:

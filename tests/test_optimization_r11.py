@@ -146,6 +146,38 @@ def test_mmr_rerank_plan_collapsed(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan
 
 
+def test_binary_files_listing_conf_restored(spark, sf_dir):
+    """q_source_binary_files scopes the file-discovery parallelism to
+    its own read; the session conf must come back untouched (unset
+    stays unset, an explicit value is restored)."""
+    key = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+    before = spark.conf.get(key, None)
+    n = catalog.QUERIES["q_source_binary_files"](spark, sf_dir).count()
+    assert n > 0
+    assert spark.conf.get(key, None) == before
+    spark.conf.set(key, "777")
+    try:
+        catalog.QUERIES["q_source_binary_files"](spark, sf_dir).count()
+        assert spark.conf.get(key, None) == "777"
+    finally:
+        spark.conf.unset(key)
+
+
+def test_python_stream_shuffle_conf_restored(spark, sf_dir):
+    """q_source_python_stream sizes its stateful aggregate's state
+    partitions via the scoped conf guard; the session's shuffle
+    partitions must be restored after the drain."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = catalog.QUERIES["q_source_python_stream"](spark, sf_dir)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    rows = {tuple(r) for r in out.collect()}
+    want = {
+        (k, 20, sum((i * i) % 97 for i in range(k, 100, 5)))
+        for k in range(5)
+    }
+    assert rows == want
+
+
 def test_cogroup_bucket_count_bounded_by_bytes(spark, sf_dir, tmp_path, monkeypatch):
     """VERDICT r10 #2: bucket count must grow with input bytes so each
     bucket's in-memory pandas slice stays under the per-bucket byte
