@@ -106,6 +106,29 @@ EXTENDED = [
     "q_sim_margin_mining",
 ]
 
+# Round-11 addition (VERDICT r10 "Next round" #7, additions-only): the
+# catalog tail — the slowest steady-state catalog queries OUTSIDE the
+# headline/extended sets per the round-10/11 full-catalog sweeps. The
+# two biggest r10 wins (6.2x, 10.7x) were invisible to the headline
+# metric; this keys them (and this round's: binaryFile listing 17x,
+# HLL split 2.6x) onto the driver's trend line. Timed with the same
+# noop-sink methodology but min-of-3 interleaved warm passes (vs 6):
+# every tail entry is a multi-second query, far above the JIT-tiering
+# noise that motivated six passes for the sub-second headline set.
+CATALOG_TAIL = [
+    "q_source_binary_files",
+    "q_stream_sessionize_stateful",
+    "q_source_python_stream",
+    "q_graph_triangles",
+    "q_approx_count_distinct",
+    "q_rank_corr_spearman",
+    "q_sim_mmr_rerank",
+    "q_text_bpe_compression",
+    "q_bootstrap_poisson_se",
+    "q_cogroup_reconcile",
+]
+CATALOG_TAIL_PASSES = 3
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -175,6 +198,21 @@ def main() -> None:
     for name, b in best.items():
         (warm if name in HEADLINE else ext_warm)[name] = round(b, 3)
 
+    # Catalog tail (round 11): cold once, then min of 3 interleaved
+    # passes — same sink, same interleaving rationale as above.
+    tail_cold: dict[str, float] = {}
+    tail_best: dict[str, float] = {name: float("inf") for name in CATALOG_TAIL}
+    for name in CATALOG_TAIL:
+        t0 = time.perf_counter()
+        materialize(catalog.QUERIES[name](spark, SF_DIR))
+        tail_cold[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(CATALOG_TAIL_PASSES):
+        for name in CATALOG_TAIL:
+            t0 = time.perf_counter()
+            materialize(catalog.QUERIES[name](spark, SF_DIR))
+            tail_best[name] = min(tail_best[name], time.perf_counter() - t0)
+    tail_warm = {name: round(b, 3) for name, b in tail_best.items()}
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     print(
@@ -201,6 +239,11 @@ def main() -> None:
                 "cold_extended_sec": round(
                     sum(v for k, v in cold.items() if k in EXTENDED), 3
                 ),
+                # Round-11 additions only — every pre-existing key and
+                # the one-line JSON contract are unchanged.
+                "catalog_tail_queries": tail_warm,
+                "catalog_tail_total_sec": round(sum(tail_warm.values()), 3),
+                "catalog_tail_cold_sec": round(sum(tail_cold.values()), 3),
                 "calib_cpu_sec": calib,
                 "sf": sf,
             }

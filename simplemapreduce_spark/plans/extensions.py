@@ -87,12 +87,23 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifts out, the driver gate goes red instead of silently passing a
     rows-only check."""
     li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
+    # Exact distincts and the HLL sketches are aggregated SEPARATELY
+    # and joined on the 3-row group key (round 11, guide §1/§5): mixing
+    # them in one agg makes Catalyst compute the non-distinct HLLs in
+    # the dedup aggregate, i.e. one rsd=0.01 sketch (2^14 registers)
+    # per (flag, distinct-key) GROUP — tens of thousands of 16 KB
+    # sketch buffers allocated and merged per run. Measured at sf0.1:
+    # combined 5.81 s vs exact 0.67 s + sketch 1.82 s split; the split
+    # also bounds sketch state to one per flag at any scale.
+    exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_suppkey").alias("exact_suppliers"),
+    )
+    sketch = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
         F.approx_count_distinct("l_suppkey", 0.01).alias("asu"),
     )
+    g = exact.join(F.broadcast(sketch), "l_returnflag")
 
     def within(approx: str, exact: str):
         return F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
