@@ -45,10 +45,49 @@ MODULE_PRIORITY: tuple[str, ...] = ()
 
 # Judge-prescribed re-checks for the current window. These slot in
 # right after the never-checked residue, before the generic freshness
-# rotation. Empty for window 10: the ledger closed at r9 (364/364, 0
-# fails) and VERDICT r9 "Next round" #1 prescribes pure oldest-first
-# freshness with RECHECKS cleared.
-RECHECKS: tuple[str, ...] = ()
+# rotation. Window 11 (VERDICT r10 "Next round" #1): every operator
+# REWRITTEN in the round-10/11 optimization rounds, so each gets a
+# ground-truth driver verdict POST-change — the 17 streaming drains +
+# q_source_python_stream (r10 kept #1 + r11 state sizing/projection),
+# the 11 r10 batch rewrites, and the 3 r11-only rewrites
+# (q_sim_mmr_rerank, q_source_binary_files, q_approx_count_distinct).
+RECHECKS: tuple[str, ...] = (
+    # streaming drains + stateful + python stream source
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_global_agg",
+    "q_stream_session_window",
+    "q_stream_chained_agg",
+    "q_stream_static_join",
+    "q_stream_dedup",
+    "q_stream_dedup_watermarked",
+    "q_stream_late_drop",
+    "q_stream_update_mode",
+    "q_stream_foreach_batch_sink",
+    "q_stream_stream_join",
+    "q_stream_stream_left_outer",
+    "q_stream_stream_full_outer",
+    "q_stream_stream_semi",
+    "q_source_python_stream",
+    "q_stream_stateful_counts",
+    "q_stream_sessionize_stateful",
+    # round-10 batch rewrites
+    "q_multimodal_block_dedup",
+    "q_sim_margin_mining",
+    "q_bootstrap_poisson_se",
+    "q_cogroup_reconcile",
+    "q_rank_corr_spearman",
+    "q_jackknife_ratio_se",
+    "q_split_cluster_aware",
+    "q_profile_columns",
+    "q_scalar_try",
+    "q_sketch_count_min",
+    "q_grouping_sets",
+    # round-11-only rewrites
+    "q_sim_mmr_rerank",
+    "q_source_binary_files",
+    "q_approx_count_distinct",
+)
 
 
 def build_window() -> list[tuple[str, str]]:
@@ -83,7 +122,7 @@ def build_window() -> list[tuple[str, str]]:
     seen = {n for n, _ in window}
     for n in RECHECKS:
         if n in catalog.QUERIES and n not in seen:
-            window.append((n, "judge-prescribed re-check (VERDICT r8 fix classes)"))
+            window.append((n, "judge-prescribed re-check (VERDICT r10 #1: post-rewrite ground truth)"))
             seen.add(n)
     for n in checked:
         if n not in seen:

@@ -99,6 +99,8 @@ PROBE = [
     # tie counts, parallelized expansions, adaptive stream drain).
     "q_cogroup_reconcile",
     "q_sim_mmr_rerank",
+    "q_approx_count_distinct",
+    "q_stream_sessionize_stateful",
     "q_grouping_sets",
     "q_jackknife_ratio_se",
     "q_rank_corr_spearman",
