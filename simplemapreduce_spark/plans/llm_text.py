@@ -398,31 +398,30 @@ def q_text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id) is exactly reproducible across engines, unlike
     interpolated quantile thresholds whose float arithmetic differs.
 
-    Scale shape: scoring is the q_text_bigram_lm plan; the bucketing
-    here uses a global ROW_NUMBER — a single-partition window over
-    the doc-count-sized score table, fine at gate scale and chosen
-    for exact oracle parity. The 100 TB path replaces it with
-    approx_percentile cutoffs broadcast back (row-local CASE), whose
-    bucket boundaries are approximate by design."""
-    ce = _bigram_cross_entropy(spark, sf_dir)
-    from pyspark.sql import Window as W
+    Scale shape (round 11, guide §2.5): the bucketing keeps the EXACT
+    global ROW_NUMBER semantics but computes it with the two-level
+    bucketed machinery (functions/ranks.py — range-bucket the score,
+    rank per bucket in parallel, add the earlier buckets' counts from
+    the tiny checkpointed totals table) instead of the former
+    single-partition window that serialized the |docs|-row score table
+    onto one task at any scale. Exact oracle parity is unchanged; an
+    approx_percentile-cutoff variant would trade that exactness away
+    and is NOT needed for scale anymore."""
+    from simplemapreduce_spark.functions.ranks import with_global_order
 
-    full = W.orderBy("cross_entropy", "doc_id").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
+    ce = _bigram_cross_entropy(spark, sf_dir)
+    ranked = with_global_order(
+        ce,
+        "cross_entropy",
+        tie_cols=("doc_id",),
+        row_number_col="rn",
+        total_count_col="n",
     )
     bucket = F.expr(
         "CASE ((rn - 1) * 3) div n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'"
         " ELSE 'tail' END"
     )
-    return (
-        ce.select(
-            "doc_id",
-            "cross_entropy",
-            F.row_number().over(W.orderBy("cross_entropy", "doc_id")).alias("rn"),
-            F.count("*").over(full).alias("n"),
-        )
-        .select("doc_id", "cross_entropy", bucket.alias("ppl_bucket"))
-    )
+    return ranked.select("doc_id", "cross_entropy", bucket.alias("ppl_bucket"))
 
 
 @query(
@@ -1316,13 +1315,19 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     is float, with the same algebraic regr_* + round-6 recipe as
     q_agg_regression and q_text_zipf_fit.
 
-    Scale shape: the token explode feeds ONE min-agg (first_doc per
-    token — vocabulary-sized) and one per-doc count; the cumulative
-    windows then run over |docs| aggregated rows, not tokens. The
-    global ORDER BY doc_id window is the inherent cost of a corpus-
-    order growth curve — at 100 TB you sample checkpoint docs instead
-    of emitting every point, which subsamples the same ordered
-    frame."""
+    Scale shape (round 11, guide §2.5): the token explode feeds ONE
+    min-agg (first_doc per token — vocabulary-sized) and one per-doc
+    count; both cumulative sums over the |docs|-row joined table run
+    through the two-level bucketed prefix machinery
+    (functions/ranks.py — per-bucket running sums in parallel plus
+    the earlier buckets' totals from the tiny checkpointed offsets
+    table) instead of the former global ORDER BY doc_id window that
+    serialized the |docs|-row curve onto one task at any scale. Same
+    exact integers; at 100 TB you additionally sample checkpoint docs
+    instead of emitting every point, which subsamples the same
+    ordered frame."""
+    from simplemapreduce_spark.functions.ranks import with_global_order
+
     toks = tokens("text")
     d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
         "doc_id", toks.alias("t")
@@ -1337,15 +1342,14 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_new"))
     )
-    wc = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    curve = (
-        per_doc.join(firsts, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_toks").over(wc).alias("cum_toks"),
-            F.sum(F.coalesce("n_new", F.lit(0))).over(wc).alias("cum_vocab"),
-        )
+    joined = per_doc.join(firsts, "doc_id", "left").select(
+        "doc_id", "n_toks", F.coalesce("n_new", F.lit(0)).alias("n_new")
     )
+    curve = with_global_order(
+        joined,
+        "doc_id",
+        running_sums=(("n_toks", "cum_toks"), ("n_new", "cum_vocab")),
+    ).select("doc_id", "cum_toks", "cum_vocab")
     lnv = F.log(F.col("cum_vocab").cast("double"))
     lnn = F.log(F.col("cum_toks").cast("double"))
     return curve.agg(

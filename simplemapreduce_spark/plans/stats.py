@@ -1248,17 +1248,34 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling queries applies; at any realistic per-table scale the
     BIGINT path holds.
 
-    Scale shape: one hash agg to per-user counts, one global sort for
-    ranks (the unavoidable cost of an exact Gini — rank is order), one
-    scalar agg. The sort input is |users| rows, not |events|."""
+    Scale shape (round 11, guide §2.5): the former global row_number
+    window serialized the |users|-row table onto ONE task at any scale
+    (Exchange SinglePartition — the unpartitioned-window scale-killer,
+    same class as VERDICT r10 #3). Because the formula is
+    tie-invariant, SUM(i*x) collapses onto the HISTOGRAM of counts:
+    the block of f_v users sharing count v occupies ranks
+    lt_v+1..lt_v+f_v (lt_v = users with smaller count), contributing
+    v*(f_v*lt_v + f_v*(f_v+1)/2) — exact integers. The only window
+    left is the lt prefix sum over the DISTINCT-count table, which is
+    value-domain-bounded (delta per row >= 1, so |distinct counts| <=
+    max events per user), never user-proportional. Two parallel hash
+    aggs + a tiny window + one scalar agg; no data-proportional
+    sort anywhere."""
     e = load_table(spark, sf_dir, "events")
     c = e.groupBy("user_id").agg(F.count("*").alias("x"))
-    i = F.row_number().over(W.orderBy("x", "user_id"))
-    r = c.select("x", i.alias("i"))
-    s = r.agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
+    h = c.groupBy("x").agg(F.count("*").alias("f"))
+    lt = F.coalesce(
+        F.sum("f").over(W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    h2 = h.select("x", "f", lt.alias("lt"))
+    six_block = F.col("x") * (
+        F.col("f") * F.col("lt") + F.expr("(f * (f + 1)) DIV 2")
+    )
+    s = h2.agg(
+        F.sum("f").alias("n"),
+        F.sum(F.col("x") * F.col("f")).alias("sx"),
+        F.sum(six_block).alias("six"),
     )
     n = F.col("n").cast("double")
     sx, six = F.col("sx").cast("double"), F.col("six").cast("double")

@@ -146,6 +146,44 @@ def test_mmr_rerank_plan_collapsed(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan
 
 
+def test_with_global_order_matches_global_windows(spark, sf_dir):
+    """functions/ranks.with_global_order must reproduce EXACTLY the
+    single-partition global windows it replaces — running sums, global
+    row_number, and the total count — on a tie-heavy ordering (50
+    rows per distinct order value, so ties hammer the shared-bucket
+    path), at a forced small bucket count so rows genuinely span
+    buckets."""
+    from pyspark.sql import Window as W
+
+    from simplemapreduce_spark.functions.ranks import with_global_order
+
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("k"),
+        (F.xxhash64("id") % 97).alias("w"),
+    )
+    got = with_global_order(
+        df,
+        "k",
+        tie_cols=("id",),
+        running_sums=(("w", "cum_w"),),
+        row_number_col="rn",
+        total_count_col="n",
+        n_buckets=7,
+    )
+    wc = W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = W.orderBy("k", "id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    want = df.select(
+        "id", "k", "w",
+        F.sum("w").over(wc).alias("cum_w"),
+        F.row_number().over(W.orderBy("k", "id")).alias("rn"),
+        F.count("*").over(full).alias("n"),
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
 def test_binary_files_listing_conf_restored(spark, sf_dir):
     """q_source_binary_files scopes the file-discovery parallelism to
     its own read; the session conf must come back untouched (unset

@@ -87,6 +87,9 @@ RECHECKS: tuple[str, ...] = (
     "q_sim_mmr_rerank",
     "q_source_binary_files",
     "q_approx_count_distinct",
+    "q_events_gini",
+    "q_text_perplexity_buckets",
+    "q_text_heaps_law",
 )
 
 
