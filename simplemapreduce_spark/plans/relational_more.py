@@ -721,27 +721,31 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines; equal-price rows order by qty within the cumsum,
     which cannot change which PRICE first crosses the boundary.
 
-    Scale shape: one sort window per group key (the inherent cost of
-    any exact quantile — same as q_agg_percentile_cont) feeding a
-    partial/final conditional-MIN agg; integer quantities make every
-    cumulative sum exact, no float comparisons anywhere."""
+    Scale shape (round 11, guide §2.5): the former cumulative window
+    partitioned the corpus by the 3-value flag — a 3-task sort at any
+    scale (the q_rank_corr_spearman class). The cumulative and total
+    sums now run through the two-level bucketed machinery
+    (functions/ranks.py — per-(flag, price-bucket) running sums in
+    parallel, earlier buckets' totals from the tiny offsets table),
+    feeding the same partial/final conditional-MIN agg; integer
+    quantities keep every cumulative sum exact, no float comparisons
+    anywhere."""
+    from simplemapreduce_spark.functions.ranks import with_global_order
+
     li = load_table(spark, sf_dir, "lineitem")
     w = li.select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         F.col("l_quantity").cast("long").alias("qty"),
     )
-    cum_w = (
-        W.partitionBy("l_returnflag")
-        .orderBy("price", "qty")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    c = w.select(
-        "l_returnflag",
+    c = with_global_order(
+        w,
         "price",
-        F.sum("qty").over(cum_w).alias("cum"),
-        F.sum("qty").over(W.partitionBy("l_returnflag")).alias("total"),
-    )
+        tie_cols=("qty",),
+        running_sums=(("qty", "cum"),),
+        total_sums=(("qty", "total"),),
+        group_cols=("l_returnflag",),
+    ).select("l_returnflag", "price", "cum", "total")
     return c.groupBy("l_returnflag").agg(
         F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("price")))
         .cast("double")
@@ -785,20 +789,32 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine or partitioning; prices accumulate as exact cents with
     one rounded division at the end.
 
-    Scale shape: one rank window per group (the exact-quantile sort
-    this family shares) feeding a conditional partial/final agg; no
-    second pass, no collect."""
+    Scale shape (round 11, guide §2.5): the former rank window
+    partitioned the corpus by the 3-value flag — a 3-task sort at any
+    scale (the q_rank_corr_spearman class). The rank and group count
+    now come from the two-level bucketed machinery (functions/
+    ranks.py — per-(flag, price-bucket) row_number in parallel +
+    earlier buckets' counts from the tiny offsets table), feeding the
+    same conditional partial/final agg; no second pass, no collect."""
+    from simplemapreduce_spark.functions.ranks import with_global_order
+
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    rk = F.row_number().over(
-        W.partitionBy("l_returnflag").orderBy(
-            "l_extendedprice", "l_orderkey", "l_linenumber"
-        )
+    base = li.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
     )
-    n = F.count("*").over(W.partitionBy("l_returnflag"))
-    r = li.select(
-        "l_returnflag", cents.alias("cents"), rk.alias("rk"), n.alias("n")
-    )
+    r = with_global_order(
+        base,
+        "l_extendedprice",
+        tie_cols=("l_orderkey", "l_linenumber"),
+        row_number_col="rk",
+        total_count_col="n",
+        group_cols=("l_returnflag",),
+    ).select("l_returnflag", "cents", "rk", "n")
     lo = F.floor(F.col("n") * 5 / 100)
     keep = (F.col("rk") > lo) & (F.col("rk") <= F.col("n") - lo)
     return r.groupBy("l_returnflag").agg(

@@ -183,6 +183,32 @@ def test_with_global_order_matches_global_windows(spark, sf_dir):
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
+    # Grouped variant: per-group running sum, row_number, group count
+    # and group total must match the partition-by-group windows.
+    g = df.withColumn("grp", (F.col("id") % 3).cast("int"))
+    got_g = with_global_order(
+        g,
+        "k",
+        tie_cols=("id",),
+        running_sums=(("w", "cum_w"),),
+        row_number_col="rn",
+        total_count_col="n",
+        total_sums=(("w", "tot_w"),),
+        group_cols=("grp",),
+        n_buckets=5,
+    )
+    wcg = W.partitionBy("grp").orderBy("k", "id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    want_g = g.select(
+        "id", "k", "w", "grp",
+        F.sum("w").over(wcg).alias("cum_w"),
+        F.row_number().over(W.partitionBy("grp").orderBy("k", "id")).alias("rn"),
+        F.count("*").over(W.partitionBy("grp")).alias("n"),
+        F.sum("w").over(W.partitionBy("grp")).alias("tot_w"),
+    )
+    assert {tuple(r) for r in got_g.collect()} == {tuple(r) for r in want_g.collect()}
+
 
 def test_binary_files_listing_conf_restored(spark, sf_dir):
     """q_source_binary_files scopes the file-discovery parallelism to

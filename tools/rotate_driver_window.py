@@ -90,6 +90,8 @@ RECHECKS: tuple[str, ...] = (
     "q_events_gini",
     "q_text_perplexity_buckets",
     "q_text_heaps_law",
+    "q_agg_weighted_median",
+    "q_agg_trimmed_mean",
 )
 
 

@@ -101,6 +101,11 @@ PROBE = [
     "q_sim_mmr_rerank",
     "q_approx_count_distinct",
     "q_stream_sessionize_stateful",
+    "q_agg_weighted_median",
+    "q_agg_trimmed_mean",
+    "q_events_gini",
+    "q_text_perplexity_buckets",
+    "q_text_heaps_law",
     "q_grouping_sets",
     "q_jackknife_ratio_se",
     "q_rank_corr_spearman",
